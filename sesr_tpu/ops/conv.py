@@ -1,0 +1,63 @@
+"""NHWC convolution and pixel-shuffle primitives.
+
+The framework uses NHWC activations and HWIO weights throughout (TPU-native
+layouts; XLA maps these onto the MXU without transposes). The reference is
+NCHW/OIHW torch (models/*.py); conversion happens once at checkpoint import
+(io/torch_import.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d_nhwc(x, w_hwio, bias=None, *, preferred_element_type=None):
+    """Stride-1 SAME-padded 2D convolution, NHWC x HWIO -> NHWC.
+
+    All reference convs are stride 1 with padding k//2 (models/sesr.py:14-31).
+    ``preferred_element_type=jnp.int32`` gives exact int8 x int8 -> int32
+    accumulation for the integer paths.
+    """
+    k = w_hwio.shape[0]
+    pad = k // 2
+    y = lax.conv_general_dilated(
+        x,
+        w_hwio,
+        window_strides=(1, 1),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=_DIMNUMS,
+        preferred_element_type=preferred_element_type,
+    )
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def pixel_shuffle_nhwc(x, r: int):
+    """Depth-to-space with torch.nn.PixelShuffle channel ordering.
+
+    torch semantics (models/sesr.py:31 depth_to_space): out[n, c, h*r+i, w*r+j]
+    = in[n, c*r*r + i*r + j, h, w]. In NHWC: split the channel axis as
+    (c, i, j) and interleave (i, j) into (h, w).
+    """
+    n, h, w, c_rr = x.shape
+    c = c_rr // (r * r)
+    x = x.reshape(n, h, w, c, r, r)
+    # (n, h, i, w, j, c) -> (n, h*r, w*r, c)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(n, h * r, w * r, c)
+
+
+def nearest_upsample_x2(x):
+    """2x nearest-neighbour upsample in NHWC.
+
+    The reference applies this input skip for the sr_x2 task outside the model
+    (test.py:149-155: each input pixel copied to a 2x2 block).
+    """
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)

@@ -1,0 +1,96 @@
+"""Float-path parity: our collapsed forward vs the reference torch models,
+using the actual shipped checkpoints (SURVEY.md §7 step-2 gate)."""
+
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from sesr_tpu.config import spec_for_task, TASKS
+from sesr_tpu.io.torch_import import load_reference_checkpoint
+from sesr_tpu.models.sesr import forward_float, init_params
+from sesr_tpu.ops.conv import pixel_shuffle_nhwc, nearest_upsample_x2
+from tests.conftest import REFERENCE_ROOT, requires_reference
+
+torch = pytest.importorskip("torch")
+
+
+def _reference_model(task):
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        if task == "sr_x4":
+            from models import sesr as mod
+            model, ckpt = mod.sesr(), "x4sesr.pth"
+        elif task == "sr_x2":
+            from models import sesr_arch as mod
+            model, ckpt = mod.sesr(), "x2sesr.pth.tar"
+        elif task == "nrdm_3":
+            from models import nrdm_3 as mod
+            model, ckpt = mod.nr(), "nrdm_3_raw_G.pth"
+        elif task == "nrdm_6":
+            from models import nrdm_6 as mod
+            model, ckpt = mod.nr(), "nrdm_6_G.pth"
+        elif task == "nr":
+            from models import nr as mod
+            model, ckpt = mod.nr(), "nr_G.pth"
+        elif task == "dm":
+            from models import dm as mod
+            model, ckpt = mod.dm(), "dm_G.pth"
+        state = torch.load(f"{REFERENCE_ROOT}/model_params/{ckpt}", map_location="cpu",
+                           weights_only=False)
+        if task == "sr_x2":
+            state = state["state_dict"]
+        model = model.float()
+        model.load_state_dict(state, strict=False)
+        model.collapse()
+        model.eval()
+        return model
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+
+
+@requires_reference
+@pytest.mark.parametrize("task", ["sr_x4", "nrdm_3", "nrdm_6", "sr_x2"])
+def test_forward_matches_reference_checkpoint(task, rng):
+    spec = spec_for_task(task)
+    model = _reference_model(task)
+    params = load_reference_checkpoint(task)
+
+    x = rng.random((1, 24, 40, spec.in_channels), dtype=np.float32)
+    with torch.no_grad():
+        y_ref = model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    y_ref = y_ref.numpy().transpose(0, 2, 3, 1)
+
+    y = np.asarray(forward_float(spec, params, jnp.asarray(x)))
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(y, y_ref, rtol=1e-3, atol=2e-4)
+
+
+def test_pixel_shuffle_matches_torch(rng):
+    x = rng.standard_normal((2, 5, 7, 16)).astype(np.float32)
+    y = np.asarray(pixel_shuffle_nhwc(jnp.asarray(x), 4))
+    y_ref = torch.nn.PixelShuffle(4)(
+        torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_array_equal(y, y_ref)
+
+
+def test_nearest_upsample_matches_reference_skip(rng):
+    # reference test.py:149-153 copies each input pixel into a 2x2 block
+    x = rng.standard_normal((1, 4, 6, 3)).astype(np.float32)
+    y = np.asarray(nearest_upsample_x2(jnp.asarray(x)))
+    assert y.shape == (1, 8, 12, 3)
+    for i in range(2):
+        for j in range(2):
+            np.testing.assert_array_equal(y[:, i::2, j::2, :], x)
+
+
+@pytest.mark.parametrize("task", sorted(TASKS))
+def test_forward_shapes(task):
+    spec = spec_for_task(task)
+    params = init_params(spec, jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 16, 24, spec.in_channels))
+    y = forward_float(spec, params, x)
+    r = spec.scaling_factor
+    assert y.shape == (1, 16 * r, 24 * r, spec.out_channels)
