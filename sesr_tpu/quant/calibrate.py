@@ -1,0 +1,175 @@
+"""Calibration + fake-quant interpreter (the reference's `test.py` path,
+exe_mode=0).
+
+The reference instruments a torch.fx graph so that every conv is preceded by
+a dynamic per-image fake-quant whose observer state lives in files on disk,
+re-loaded and re-saved on every layer of every image
+(quan_func.py:175-215, 181-196). Here the same numerics are a pure function:
+one jitted forward returns the output AND the per-domain min/max of this
+image; the caller folds min/max across the calibration set (a single
+device->host transfer at the very end).
+
+Faithfulness notes (all verified against the reference source):
+- activation quantization during calibration/eval is DYNAMIC: each image is
+  quantized with its own min/max, while the running min/max only feeds the
+  final static scales (quan_func.py:177-215).
+- weights are fake-quantized once: w_int * w_scale (quan_func.py:113-114).
+- the float path models the PE accumulator/adder saturation as float clamps
+  at (+-2^(bits-1) - zero) * s_a * s_w (quan_func.py:330-333, 431-434); with
+  `exact_pe=True` the conv is split into the 4 per-PE partial convs exactly
+  like the hardware, with per-PE clamping before the 20-bit-equivalent clamp.
+- bias is added in quantized-dequantized form at scale s_a*s_w
+  (quan_func.py:391-416, 457-459).
+- the output domain L is observed on the post-bias output of the last conv;
+  its fake-quant is applied only for nets with a PixelShuffle, mirroring the
+  insert-before-PixelShuffle graph pass (test.py:90-91) vs. the MFLAG==3
+  observer-only branch (quan_func.py:460-479).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sesr_tpu.config import SESRSpec, HardwareConfig, DEFAULT_HW
+from sesr_tpu.models.sesr import CollapsedParams
+from sesr_tpu.ops.conv import conv2d_nhwc, pixel_shuffle_nhwc
+from sesr_tpu.quant.params import (
+    CalibState, QuantParams, quantize_weights, finalize,
+)
+
+
+def _dynamic_fake_quant(x, bits: int):
+    """Per-tensor dynamic asymmetric fake-quant. Returns (x_fq, lo, hi,
+    scale, zero) — scale/zero are traced f32 scalars used by the PE clamps."""
+    qmax = float(2 ** (bits - 1) - 1)
+    qmin = float(-(2 ** (bits - 1)))
+    lo = jnp.min(x)
+    hi = jnp.max(x)
+    scale = (hi - lo) / (qmax - qmin)
+    zero = qmin - jnp.round(lo / scale)
+    q = jnp.clip(jnp.round(x / scale + zero), qmin, qmax)
+    return (q - zero) * scale, lo, hi, scale, zero
+
+
+def _pe_partial_weights(w_hwio, pe: int):
+    """Split a HWIO kernel into `pe` kernels keeping input channels c with
+    c % pe == p (others zeroed) — the channel round-robin PE decomposition
+    (quan_func.py:298-318, applied to weights instead of inputs; the two are
+    equivalent because convolution is linear in its input)."""
+    ic = w_hwio.shape[2]
+    c = np.arange(ic)
+    outs = []
+    for p in range(pe):
+        mask = (c % pe == p).astype(w_hwio.dtype)
+        outs.append(w_hwio * mask[None, None, :, None])
+    return outs
+
+
+def _fq_conv_layer(x_fq, w_fq, bias_f, scale, zero, w_scale: float,
+                   hw: HardwareConfig, exact_pe: bool):
+    """One conv in the fake-quant pipeline: PE-split conv with float
+    saturation clamps + quantized bias."""
+    acc_hi = float(2 ** (hw.pe_acc_bits - 1) - 1)
+    acc_lo = float(-(2 ** (hw.pe_acc_bits - 1)))
+    add_hi = float(2 ** (hw.pe_add_bits - 1) - 1)
+    add_lo = float(-(2 ** (hw.pe_add_bits - 1)))
+    s_eff = scale * jnp.float32(w_scale)
+
+    if exact_pe:
+        parts = []
+        for w_p in _pe_partial_weights(w_fq, hw.pe):
+            y_p = conv2d_nhwc(x_fq, w_p)
+            y_p = jnp.clip(y_p, (acc_lo - zero) * s_eff, (acc_hi - zero) * s_eff)
+            parts.append(y_p)
+        y = parts[0]
+        for y_p in parts[1:]:
+            y = y + y_p
+    else:
+        y = conv2d_nhwc(x_fq, w_fq)
+    y = jnp.clip(y, (add_lo - zero) * s_eff, (add_hi - zero) * s_eff)
+
+    # quantize-dequantize bias at scale s_a * s_w (quan_func.py:391-416)
+    b_hi = float(2 ** (hw.bias_bits - 1) - 1)
+    b_lo = float(-(2 ** (hw.bias_bits - 1)))
+    b_q = jnp.clip(jnp.round(bias_f / s_eff), b_lo, b_hi) * s_eff
+    return y + b_q
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _calibration_forward_impl(spec: SESRSpec, fq_weights, x,
+                              hw: HardwareConfig, exact_pe: bool):
+    w_fq, w_scales, biases = fq_weights
+    L = spec.num_convs
+    lows, highs = [], []
+
+    h = x
+    c0 = None
+    for i in range(L):
+        if i == L - 1:
+            h = h + c0                                  # outer residual add
+        h_fq, lo, hi, scale, zero = _dynamic_fake_quant(h, hw.quan_bits)
+        lows.append(lo)
+        highs.append(hi)
+        h = _fq_conv_layer(h_fq, w_fq[i], biases[i], scale, zero,
+                           w_scales[i], hw, exact_pe)
+        if i == 0:
+            h = jax.nn.relu(h)
+            c0 = h
+        elif i < L - 1:
+            h = jax.nn.relu(h)
+    # output domain L: observe post-bias last-conv output
+    lows.append(jnp.min(h))
+    highs.append(jnp.max(h))
+    if spec.has_pixel_shuffle:
+        h, _, _, _, _ = _dynamic_fake_quant(h, hw.quan_bits)
+        h = pixel_shuffle_nhwc(h, spec.scaling_factor)
+    minmax = jnp.stack([jnp.stack(lows), jnp.stack(highs)], axis=0)  # (2, L+1)
+    return h, minmax
+
+
+def _prep_fq_weights(params: CollapsedParams, hw: HardwareConfig):
+    w_int, w_scale = quantize_weights([np.asarray(w) for w in params.weights], hw)
+    w_fq = tuple(jnp.asarray(q.astype(np.float32) * np.float32(s))
+                 for q, s in zip(w_int, w_scale))
+    biases = tuple(jnp.asarray(b, jnp.float32) for b in params.biases)
+    return (w_fq, tuple(w_scale), biases), w_int, w_scale
+
+
+def calibration_forward(spec: SESRSpec, params: CollapsedParams, x,
+                        hw: HardwareConfig = DEFAULT_HW, exact_pe: bool = True):
+    """Single-image fake-quant forward. Returns (y, minmax[(2, L+1)])."""
+    fq_weights, _, _ = _prep_fq_weights(params, hw)
+    return _calibration_forward_impl(spec, fq_weights, x, hw, exact_pe)
+
+
+def fake_quant_forward(spec: SESRSpec, params: CollapsedParams, x,
+                       hw: HardwareConfig = DEFAULT_HW, exact_pe: bool = True):
+    """Fake-quant forward only (the PSNR-eval path of test.py:141-183)."""
+    y, _ = calibration_forward(spec, params, x, hw, exact_pe)
+    return y
+
+
+def calibrate(spec: SESRSpec, params: CollapsedParams,
+              images: Sequence[np.ndarray],
+              hw: HardwareConfig = DEFAULT_HW,
+              exact_pe: bool = True,
+              force_output_min_zero: bool = True) -> QuantParams:
+    """Run the calibration set through the fake-quant pipeline and finalize
+    a complete QuantParams (test.py eval loop + :186-217 finalize)."""
+    fq_weights, w_int, w_scale = _prep_fq_weights(params, hw)
+    L = spec.num_convs
+    calib = CalibState.fresh(L + 1)
+    for img in images:
+        x = jnp.asarray(img, jnp.float32)
+        _, minmax = _calibration_forward_impl(spec, fq_weights, x, hw, exact_pe)
+        mm = np.asarray(minmax, np.float64)
+        for d in range(L + 1):
+            calib.update(d, mm[0, d], mm[1, d])
+    return finalize(spec, w_int, w_scale,
+                    [np.asarray(b) for b in params.biases], calib, hw,
+                    force_output_min_zero=force_output_min_zero)

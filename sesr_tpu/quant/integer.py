@@ -1,0 +1,182 @@
+"""Bit-exact integer interpreter — the ASIC datapath (reference `sim.py`,
+exe_mode=1).
+
+Replicates, value for value, the reference's integer pipeline
+(quan_func.py + the sim-model graph), per conv i:
+
+  1. domain-in:  conv 0 quantizes from float (quan_func.py:220-225); middle
+     convs add their zero point with an int8 clamp (:272-280); the LAST conv
+     does the integer residual add (:244-270). The value fed to the conv is
+     q - max(zero, -128), because zero-padding must be exact (:289-293).
+  2. 4-PE partial convs (input channels round-robin, :298-318) in int32.
+  3. per-PE zero restoration + saturation to PE_ACC_BIT (:336-370) — the
+     restored zero is floored at -128 (:351-352).
+  4. 4-way PE sum saturated to PE_ADD_BIT (:428-437).
+  5. fused bias add: clamp(bias_int - zero*sum(W_int), +-2^(BIAS_BIT-1))
+     (:480-491) — using the UNfloored zero (upstream quirk, replicated).
+  6. requantization by a 16-bit mantissa x 2^-n with float32 rounding
+     (:517-611), wired per requant_target_domain(); conv 0 additionally
+     saves its post-ReLU output as the residual shortcut (:530-549); the
+     last conv re-quantizes into the output domain with a zero add + int8
+     clamp, then dequantizes for scoring (:579-594).
+
+Everything is jnp (int32 for accumulations, float32 where the reference's
+float32 rounding is observable); jit-compatible; shapes NHWC.
+
+All integer values below 2^24 are exactly representable in float32, which is
+why the reference's float32 tensors and our int32 arithmetic agree bit-for-
+bit everywhere except the requant multiply — where we deliberately compute
+in float32 (ops/fixedpoint.py:apply_requant_f32).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sesr_tpu.config import SESRSpec, HardwareConfig
+from sesr_tpu.models.sesr import CollapsedParams
+from sesr_tpu.ops.conv import conv2d_nhwc, pixel_shuffle_nhwc
+from sesr_tpu.ops.fixedpoint import apply_requant_f32, saturate
+from sesr_tpu.quant.params import QuantParams, requant_target_domain
+
+
+def _pe_weight_masks(w_int_hwio: np.ndarray, pe: int):
+    """w_int split into `pe` kernels (input channels c % pe == p kept)."""
+    ic = w_int_hwio.shape[2]
+    c = np.arange(ic)
+    return [w_int_hwio * (c % pe == p)[None, None, :, None].astype(w_int_hwio.dtype)
+            for p in range(pe)]
+
+
+def _quantize_domain_in(x, i: int, L: int, qp: QuantParams, shortcut):
+    """Domain-in handling (quan_func.py:217-293). Returns (x_q, x_shift):
+    x_q is the int8 tensor the reference dumps as input.{i}.pt; x_shift is
+    x_q - max(zero, -128), the value actually convolved."""
+    bits = qp.hw.quan_bits
+    qmin, qmax = float(-(1 << (bits - 1))), float((1 << (bits - 1)) - 1)
+    zero = qp.a_zero[i]
+    if i == 0:
+        scale = qp.a_scale[0]
+        x_q = jnp.clip(jnp.round(x / jnp.float32(scale) + jnp.float32(zero)),
+                       qmin, qmax)
+    elif i == L - 1:
+        # integer residual add (quan_func.py:244-270): shortcut and branch
+        # both live in domain-1 scale; shift to signed, add, rescale by
+        # s_1/s_{L-1}, move into domain L-1
+        half = float(1 << (bits - 1))
+        res_c = jnp.clip(jnp.round(shortcut - half), qmin, qmax)
+        in_c = jnp.clip(jnp.round(x - half), qmin, qmax)
+        t = res_c + in_c + 2.0 * half
+        t = apply_requant_f32(t, qp.res_requant_m, qp.res_requant_n)
+        x_q = jnp.clip(jnp.round(t + jnp.float32(zero)), qmin, qmax)
+    else:
+        x_q = jnp.clip(jnp.round(x + jnp.float32(zero)), qmin, qmax)
+    x_shift = x_q - jnp.float32(qp.effective_zero(i))
+    return x_q, x_shift
+
+
+def _integer_conv_pe(x_shift, i: int, qp: QuantParams):
+    """Steps 2-5: PE-split int32 conv, zero restoration, saturations, fused
+    bias. Returns (pe_out [(PE, N, H, W, OC) clamped], pe_add, y_biased)."""
+    hw = qp.hw
+    w_int = qp.w_int[i]
+    zero_eff = qp.effective_zero(i)
+    x_i32 = x_shift.astype(jnp.int32)
+
+    pe_outs = []
+    for w_p in _pe_weight_masks(w_int, hw.pe):
+        y_p = conv2d_nhwc(x_i32, jnp.asarray(w_p, jnp.int32),
+                          preferred_element_type=jnp.int32)
+        w_sum_p = w_p.sum(axis=(0, 1, 2))                    # (OC,)
+        y_p = y_p + jnp.asarray(w_sum_p * zero_eff, jnp.int32)
+        y_p = saturate(y_p, hw.pe_acc_bits)
+        pe_outs.append(y_p)
+    pe_out = jnp.stack(pe_outs, axis=0)                      # (PE, N, H, W, OC)
+
+    pe_add = saturate(jnp.sum(pe_out, axis=0), hw.pe_add_bits)
+    fused = jnp.asarray(qp.fused_bias(i), jnp.int32)         # (OC,)
+    y = pe_add + fused
+    return pe_out, pe_add, y
+
+
+def _requant_out(y_i32, i: int, L: int, qp: QuantParams):
+    """Step 6 requant wiring. Returns (y_out float32, extras dict)."""
+    bits = qp.hw.quan_bits
+    qmin, qmax = float(-(1 << (bits - 1))), float((1 << (bits - 1)) - 1)
+    m, n = qp.requant_m[i], qp.requant_n[i]
+    y = apply_requant_f32(y_i32, m, n)
+    extras = {}
+    if i == 0:
+        extras["shortcut"] = jax.nn.relu(y)
+    if i == L - 1:
+        zero_L, scale_L = qp.a_zero[L], qp.a_scale[L]
+        y_q = jnp.clip(jnp.round(y + jnp.float32(zero_L)), qmin, qmax)
+        extras["out_int8"] = y_q
+        y = (y_q - jnp.float32(zero_L)) * jnp.float32(scale_L)
+    return y, extras
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def _integer_forward_impl(spec: SESRSpec, x, qp_static: QuantParams,
+                          collect: bool):
+    L = spec.num_convs
+    qp = qp_static
+    dumps: Dict[str, jnp.ndarray] = {}
+    h = x
+    shortcut = None
+    for i in range(L):
+        x_q, x_shift = _quantize_domain_in(h, i, L, qp, shortcut)
+        pe_out, pe_add, y = _integer_conv_pe(x_shift, i, qp)
+        h, extras = _requant_out(y, i, L, qp)
+        if i == 0:
+            shortcut = extras["shortcut"]
+        if i < L - 1:
+            h = jax.nn.relu(h)
+        if collect:
+            dumps[f"input.{i}"] = x_q
+            dumps[f"pe_out.{i}"] = pe_out
+            dumps[f"pe_add.{i}"] = pe_add
+            dumps[f"requant.{i}"] = h
+            if i == 0:
+                dumps["shortcut"] = shortcut
+            if i == L - 1:
+                dumps[f"input.{L}"] = extras["out_int8"]
+    if spec.has_pixel_shuffle:
+        h = pixel_shuffle_nhwc(h, spec.scaling_factor)
+    return h, dumps
+
+
+def integer_forward(spec: SESRSpec, qp: QuantParams, x,
+                    collect_dumps: bool = False):
+    """Bit-exact integer forward. x: NHWC float in [0, 1].
+
+    Returns (y, dumps). y is the dequantized float output (reference
+    sim.py's `gfake`). With collect_dumps=True, `dumps` holds every
+    intermediate the reference writes to output_pt/ (input.{i}, pe_out.{i}
+    [(PE, N, H, W, OC)], pe_add.{i}, requant.{i}, shortcut, input.{L}).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    return _integer_forward_impl(spec, x, _hashable(qp), collect_dumps)
+
+
+class _hashable:
+    """Wrap QuantParams for use as a jit static argument: hashed by identity,
+    so each QuantParams instance compiles once (constants are baked into the
+    program — exactly what we want for an inference engine)."""
+
+    def __init__(self, qp: QuantParams):
+        self.qp = qp
+
+    def __hash__(self):
+        return id(self.qp)
+
+    def __eq__(self, other):
+        return isinstance(other, _hashable) and other.qp is self.qp
+
+    def __getattr__(self, name):
+        return getattr(self.qp, name)
