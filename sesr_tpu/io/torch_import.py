@@ -2,7 +2,10 @@
 
 The reference loads torch state dicts into live nn.Modules and then mutates
 them in place via model.collapse() (test.py:64-75). Here import is a pure
-function: state dict -> CollapsedParams (numpy -> jnp, NHWC/HWIO layouts).
+function: state dict -> CollapsedParams (numpy arrays, NHWC/HWIO layouts).
+Arrays stay host-side numpy — device placement happens lazily at first use, so
+importing checkpoints never triggers device transfers (important: on the axon
+remote backend, any device->host readback permanently degrades dispatch).
 torch is used only as a deserializer on the host; nothing torch touches the
 compute path.
 
@@ -19,8 +22,6 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 import numpy as np
-import jax.numpy as jnp
-
 from sesr_tpu.config import SESRSpec, spec_for_task, REFERENCE_CHECKPOINTS
 from sesr_tpu.models.blocks import collapse_block, fold_residual_identity, oihw_to_hwio
 from sesr_tpu.models.sesr import CollapsedParams
@@ -61,8 +62,8 @@ def collapse_state_dict(spec: SESRSpec, state: Dict[str, np.ndarray]) -> Collaps
         is_residual_block = 0 < i < spec.num_convs - 1
         if is_residual_block and f"{name}.conv_squeeze.weight" in state:
             w = fold_residual_identity(w)
-        weights.append(jnp.asarray(oihw_to_hwio(w)))
-        biases.append(jnp.asarray(b))
+        weights.append(np.ascontiguousarray(oihw_to_hwio(w)))
+        biases.append(np.asarray(b))
     return CollapsedParams(weights, biases)
 
 

@@ -55,15 +55,31 @@ def init_params(spec: SESRSpec, key, dtype=jnp.float32) -> CollapsedParams:
     return CollapsedParams(weights, biases)
 
 
-def forward_float(spec: SESRSpec, params: CollapsedParams, x: jnp.ndarray) -> jnp.ndarray:
-    """FP32 forward of the collapsed network. x: NHWC in [0, 1]."""
+def forward_float(spec: SESRSpec, params: CollapsedParams, x: jnp.ndarray,
+                  halo_axis=None) -> jnp.ndarray:
+    """FP32 forward of the collapsed network. x: NHWC in [0, 1].
+
+    ``halo_axis``: name of a mesh axis for spatially-sharded execution
+    (inside shard_map). Each conv then exchanges its k//2-column halo with
+    W-neighbours instead of zero padding (ops/halo.py) — bit-identical to
+    the monolithic result.
+    """
+    from sesr_tpu.ops.halo import halo_exchange_w
+
+    def conv(h, i):
+        w, b = params.weights[i], params.biases[i]
+        if halo_axis is not None:
+            h = halo_exchange_w(h, w.shape[0] // 2, halo_axis)
+            return conv2d_nhwc(h, w, b, w_valid=True)
+        return conv2d_nhwc(h, w, b)
+
     n_convs = params.num_convs
-    h = jax.nn.relu(conv2d_nhwc(x, params.weights[0], params.biases[0]))
+    h = jax.nn.relu(conv(x, 0))
     c0 = h
     for i in range(1, n_convs - 1):
-        h = jax.nn.relu(conv2d_nhwc(h, params.weights[i], params.biases[i]))
+        h = jax.nn.relu(conv(h, i))
     h = h + c0
-    y = conv2d_nhwc(h, params.weights[-1], params.biases[-1])
+    y = conv(h, n_convs - 1)
     if spec.has_pixel_shuffle:
         y = pixel_shuffle_nhwc(y, spec.scaling_factor)
     return y

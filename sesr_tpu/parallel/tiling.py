@@ -1,0 +1,77 @@
+"""Spatial tiling over a TPU device mesh with per-layer halo exchange.
+
+The reference's only notion of tiling is its export format: images processed
+as 32-wide tiles whose valid region shrinks by kernel//2 per layer
+(output.py:42-65, tile_width at :11). That same structure — tiles + per-layer
+halo — is what scales this workload across chips: shard W across the `sp`
+mesh axis and batch across `dp`; before every conv each shard exchanges its
+k//2-column halo with its W-neighbours via `lax.ppermute` (ICI neighbours on
+a TPU torus; see ops/halo.py for why the exchange must be per-layer, not one
+big upfront halo) and convolves in valid-W mode.
+
+Bit-exactness: the non-wrapping ppermute delivers ZEROS to edge shards —
+exactly the zero padding the monolithic SAME conv applies at image borders —
+so the sharded integer path is bit-identical to the single-device result
+(tests/test_sharding.py asserts array equality).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from sesr_tpu.config import SESRSpec
+from sesr_tpu.models.sesr import CollapsedParams, forward_float
+from sesr_tpu.quant.integer import integer_forward
+from sesr_tpu.quant.params import QuantParams
+
+
+def make_mesh(n_devices: Optional[int] = None, dp: int = 1,
+              sp: Optional[int] = None) -> Mesh:
+    """Build a (dp, sp) mesh over the first dp*sp devices."""
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    if sp is None:
+        sp = n_devices // dp
+    assert dp * sp <= len(devs), f"need {dp*sp} devices, have {len(devs)}"
+    arr = np.array(devs[: dp * sp]).reshape(dp, sp)
+    return Mesh(arr, axis_names=("dp", "sp"))
+
+
+def sharded_integer_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh):
+    """Build a jitted bit-exact integer forward sharded (dp=batch, sp=W).
+
+    Returns f(x) for global x of shape (N, H, W, C) with N % dp == 0 and
+    W % sp == 0; the output keeps the same sharding.
+    """
+
+    def local_fn(x):
+        y, _ = integer_forward(spec, qp, x, halo_axis="sp")
+        return y
+
+    inner = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=P("dp", None, "sp", None),
+        out_specs=P("dp", None, "sp", None),
+    )
+    return jax.jit(inner)
+
+
+def sharded_float_forward(spec: SESRSpec, params: CollapsedParams, mesh: Mesh):
+    """FP32 forward sharded (dp=batch, sp=W) with per-layer halo exchange."""
+
+    def local_fn(x):
+        return forward_float(spec, params, x, halo_axis="sp")
+
+    inner = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=P("dp", None, "sp", None),
+        out_specs=P("dp", None, "sp", None),
+    )
+    return jax.jit(inner)

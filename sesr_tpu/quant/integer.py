@@ -80,18 +80,28 @@ def _quantize_domain_in(x, i: int, L: int, qp: QuantParams, shortcut):
     return x_q, x_shift
 
 
-def _integer_conv_pe(x_shift, i: int, qp: QuantParams):
+def _integer_conv_pe(x_shift, i: int, qp: QuantParams, halo_axis=None):
     """Steps 2-5: PE-split int32 conv, zero restoration, saturations, fused
-    bias. Returns (pe_out [(PE, N, H, W, OC) clamped], pe_add, y_biased)."""
+    bias. Returns (pe_out [(PE, N, H, W, OC) clamped], pe_add, y_biased).
+
+    With halo_axis set (sharded execution inside shard_map), the SHIFTED
+    tensor exchanges its k//2-column halo — zero there == the zero padding
+    F.conv2d applies upstream (quan_func.py:289-293) — and convs run
+    valid-W."""
+    from sesr_tpu.ops.halo import halo_exchange_w
+
     hw = qp.hw
     w_int = qp.w_int[i]
     zero_eff = qp.effective_zero(i)
     x_i32 = x_shift.astype(jnp.int32)
+    w_valid = halo_axis is not None
+    if w_valid:
+        x_i32 = halo_exchange_w(x_i32, w_int.shape[0] // 2, halo_axis)
 
     pe_outs = []
     for w_p in _pe_weight_masks(w_int, hw.pe):
         y_p = conv2d_nhwc(x_i32, jnp.asarray(w_p, jnp.int32),
-                          preferred_element_type=jnp.int32)
+                          preferred_element_type=jnp.int32, w_valid=w_valid)
         w_sum_p = w_p.sum(axis=(0, 1, 2))                    # (OC,)
         y_p = y_p + jnp.asarray(w_sum_p * zero_eff, jnp.int32)
         y_p = saturate(y_p, hw.pe_acc_bits)
@@ -121,9 +131,9 @@ def _requant_out(y_i32, i: int, L: int, qp: QuantParams):
     return y, extras
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
 def _integer_forward_impl(spec: SESRSpec, x, qp_static: QuantParams,
-                          collect: bool):
+                          collect: bool, halo_axis=None):
     L = spec.num_convs
     qp = qp_static
     dumps: Dict[str, jnp.ndarray] = {}
@@ -131,7 +141,7 @@ def _integer_forward_impl(spec: SESRSpec, x, qp_static: QuantParams,
     shortcut = None
     for i in range(L):
         x_q, x_shift = _quantize_domain_in(h, i, L, qp, shortcut)
-        pe_out, pe_add, y = _integer_conv_pe(x_shift, i, qp)
+        pe_out, pe_add, y = _integer_conv_pe(x_shift, i, qp, halo_axis=halo_axis)
         h, extras = _requant_out(y, i, L, qp)
         if i == 0:
             shortcut = extras["shortcut"]
@@ -152,16 +162,20 @@ def _integer_forward_impl(spec: SESRSpec, x, qp_static: QuantParams,
 
 
 def integer_forward(spec: SESRSpec, qp: QuantParams, x,
-                    collect_dumps: bool = False):
+                    collect_dumps: bool = False, halo_axis=None):
     """Bit-exact integer forward. x: NHWC float in [0, 1].
 
     Returns (y, dumps). y is the dequantized float output (reference
     sim.py's `gfake`). With collect_dumps=True, `dumps` holds every
     intermediate the reference writes to output_pt/ (input.{i}, pe_out.{i}
     [(PE, N, H, W, OC)], pe_add.{i}, requant.{i}, shortcut, input.{L}).
+
+    ``halo_axis``: mesh axis name for spatially-sharded execution inside
+    shard_map — every conv then halo-exchanges instead of zero-padding along
+    W (parallel/tiling.py); results are bit-identical to monolithic.
     """
     x = jnp.asarray(x, jnp.float32)
-    return _integer_forward_impl(spec, x, _hashable(qp), collect_dumps)
+    return _integer_forward_impl(spec, x, _hashable(qp), collect_dumps, halo_axis)
 
 
 class _hashable:

@@ -1,0 +1,123 @@
+"""QAT: parity vs the reference fake-quant stack + training mechanics."""
+
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from sesr_tpu.config import spec_for_task
+from sesr_tpu.models.expanded import (
+    ExpandedParams, expanded_from_state_dict, forward_expanded, init_expanded,
+    collapse_expanded,
+)
+from sesr_tpu.models.sesr import forward_float
+from sesr_tpu.quant.qat import (
+    QATConfig, QuantizerState, prepare, qat_forward, fake_quant,
+    make_train_step, qat_state_from_state_dict,
+)
+from tests.conftest import REFERENCE_ROOT, requires_reference
+
+torch = pytest.importorskip("torch")
+
+
+def _np_state(path):
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    return {k: v.detach().numpy() for k, v in sd.items()}
+
+
+@requires_reference
+def test_qat_eval_matches_reference_checkpoint(rng):
+    """Our functional QAT forward (training=False) vs the reference's
+    prepared+loaded QuantConv2d/QuantAdd model in eval mode."""
+    spec = spec_for_task("sr_x4")
+    path = f"{REFERENCE_ROOT}/model_params/sr_qat_G.pth"
+
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        from models import sesr as ref_sesr
+        from models import quantize_utils_pt as quantize
+        model = ref_sesr.sesr().float()
+        quantize.prepare(model, inplace=True, a_bits=8, w_bits=8,
+                         q_type=0, q_level="C")
+        state = torch.load(path, map_location="cpu", weights_only=False)
+        model.load_state_dict(state, strict=False)
+        model.eval()
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+
+    x = rng.random((1, 16, 24, 1), dtype=np.float32)
+    with torch.no_grad():
+        y_ref = model(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    y_ref = y_ref.transpose(0, 2, 3, 1)
+
+    np_state = _np_state(path)
+    params = expanded_from_state_dict(spec, np_state)
+    qstate = qat_state_from_state_dict(spec, np_state)
+    y, _ = qat_forward(spec, QATConfig(), params, qstate,
+                       jnp.asarray(x), training=False)
+    # Fake-quantized activations sit exactly on .5 rounding boundaries, so
+    # f32 conv-reassociation noise (~1e-7, torch vs XLA summation order)
+    # flips individual roundings; differences are bounded by ~one
+    # quantization step of the widest activation domain and must be small on
+    # average.
+    diff = np.abs(np.asarray(y) - y_ref)
+    max_step = 0.0126  # largest act quantizer scale in sr_qat_G.pth
+    assert diff.max() <= 1.5 * max_step, diff.max()
+    assert diff.mean() < 1.5e-3, diff.mean()
+
+
+def test_expanded_forward_matches_collapsed(rng):
+    spec = spec_for_task("nrdm_3")
+    params = init_expanded(spec, jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.random((1, 12, 18, 3), dtype=np.float32))
+    y_exp = forward_expanded(spec, params, x)
+    y_col = forward_float(spec, collapse_expanded(spec, params), x)
+    np.testing.assert_allclose(np.asarray(y_exp), np.asarray(y_col),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_ste_gradient_clipping():
+    state = QuantizerState(jnp.array([-1.0]), jnp.array([1.0]),
+                           jnp.ones((), jnp.int32))
+
+    def f(x):
+        return jnp.sum(fake_quant(x, state, 8, 0, is_weight=False))
+
+    g = jax.grad(f)(jnp.array([0.5, -0.3, 5.0, -4.0]))
+    # inside the observer range the STE passes gradient 1; outside it clips to 0
+    np.testing.assert_allclose(np.asarray(g), [1.0, 1.0, 0.0, 0.0])
+
+
+def test_fake_quant_values_symmetric():
+    state = QuantizerState(jnp.array([-2.0]), jnp.array([1.0]),
+                           jnp.ones((), jnp.int32))
+    x = jnp.array([0.0, 1.0, -2.0, 0.004, 5.0])
+    y = np.asarray(fake_quant(x, state, 8, 0, is_weight=False))
+    scale = 2.0 / 127.5
+    assert y[0] == 0.0
+    np.testing.assert_allclose(y[1], round(1.0 / scale) * scale, rtol=1e-6)
+    np.testing.assert_allclose(y[4], 127 * scale, rtol=1e-6)  # clamped
+
+
+@pytest.mark.parametrize("use_qat", [False, True])
+def test_train_step_reduces_loss(use_qat, rng):
+    import optax
+
+    spec = spec_for_task("nrdm_3")
+    params = init_expanded(spec, jax.random.PRNGKey(1))
+    cfg = QATConfig() if use_qat else None
+    qstate = prepare(spec, cfg or QATConfig())
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    step = jax.jit(make_train_step(spec, cfg, opt))
+
+    x = jnp.asarray(rng.random((2, 16, 16, 3), dtype=np.float32))
+    gt = jnp.asarray(rng.random((2, 16, 16, 3), dtype=np.float32) * 0.5 + 0.25)
+
+    losses = []
+    for _ in range(8):
+        params, qstate, opt_state, loss = step(params, qstate, opt_state, (x, gt))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
