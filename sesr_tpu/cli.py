@@ -1,0 +1,223 @@
+"""Command-line entry points — the reference's L6 scripts, with a real CLI.
+
+The reference has no CLI: behaviour is selected by editing MFLAG in
+define.py:1 and a qatf string inside each script (test.py:26-28). Here:
+
+    python -m sesr_tpu eval-float --task sr_x4 [--data DIR]    # test_float.py
+    python -m sesr_tpu calibrate  --task sr_x4 --out qp.npz    # test.py
+    python -m sesr_tpu sim        --task sr_x4 --qparams qp.npz --dump-dir D
+                                                               # sim.py
+    python -m sesr_tpu export     --task sr_x4 --qparams qp.npz --out-dir D
+                                                               # output*.py
+    python -m sesr_tpu train      --task nrdm_3 [--qat] --steps N
+                                                               # train.py
+    python -m sesr_tpu bench                                    # bench.py
+
+Data: --data points at a Set5/Set14-style GTmod12 dir (SR) or a DIV2K-RAW
+style raw dir (NR/DM/NRDM); without it a procedural synthetic set is used
+(the reference's datasets are absolute paths on its author's machine and do
+not ship — self_dataset.py:108,212).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _dataset(task, args):
+    from sesr_tpu.data.datasets import (SRFolderDataset, RawBayerDataset,
+                                        SyntheticDataset)
+    if args.data:
+        if task in ("sr_x4", "sr_x2"):
+            return SRFolderDataset(args.data, scale=4 if task == "sr_x4" else 2)
+        return RawBayerDataset(args.data)
+    return SyntheticDataset(task, n=args.n_images)
+
+
+def _load_params(task, args):
+    from sesr_tpu.io.torch_import import load_reference_checkpoint
+    return load_reference_checkpoint(task, path=args.checkpoint or None)
+
+
+def cmd_eval_float(args):
+    import jax.numpy as jnp
+    from sesr_tpu.config import spec_for_task
+    from sesr_tpu.models.sesr import forward_float
+    from sesr_tpu.metrics import evaluate_pair
+
+    spec = spec_for_task(args.task)
+    params = _load_params(args.task, args)
+    tot_p = tot_s = n = 0
+    for inp, gt in _dataset(args.task, args):
+        y = np.asarray(forward_float(spec, params, jnp.asarray(inp)))
+        p, s = evaluate_pair(args.task, y[0], gt[0], inp[0])
+        print(f"psnr={p:.4f} ssim={s:.4f}")
+        tot_p, tot_s, n = tot_p + p, tot_s + s, n + 1
+    print(f"{args.task} mean psnr: {tot_p/n:.4f}  ssim: {tot_s/n:.4f}")
+
+
+def cmd_calibrate(args):
+    import jax.numpy as jnp
+    from sesr_tpu.config import spec_for_task
+    from sesr_tpu.quant.calibrate import calibrate, fake_quant_forward
+    from sesr_tpu.metrics import evaluate_pair
+
+    spec = spec_for_task(args.task)
+    params = _load_params(args.task, args)
+    data = list(_dataset(args.task, args))
+    qp = calibrate(spec, params, [inp for inp, _ in data],
+                   observer=args.observer)
+    qp.save(args.out)
+    print(f"saved {args.out}")
+    if not args.no_eval:
+        tot_p = tot_s = n = 0
+        for inp, gt in data:
+            y = np.asarray(fake_quant_forward(spec, params, jnp.asarray(inp)))
+            p, s = evaluate_pair(args.task, y[0], gt[0], inp[0])
+            tot_p, tot_s, n = tot_p + p, tot_s + s, n + 1
+        print(f"{args.task} fake-quant mean psnr: {tot_p/n:.4f}  ssim: {tot_s/n:.4f}")
+    for d in range(spec.num_convs + 1):
+        print(f"domain {d}: scale={qp.a_scale[d]:.6g} zero={qp.a_zero[d]}")
+
+
+def cmd_sim(args):
+    import jax.numpy as jnp
+    from sesr_tpu.config import spec_for_task
+    from sesr_tpu.quant.params import QuantParams
+    from sesr_tpu.quant.integer import integer_forward
+    from sesr_tpu.data.datasets import load_reference_fixture
+
+    spec = spec_for_task(args.task)
+    qp = QuantParams.load(args.qparams)
+    if args.fixture:
+        x = np.load(args.fixture)
+    else:
+        x = load_reference_fixture(args.task)
+    y, dumps = integer_forward(spec, qp, jnp.asarray(x), collect_dumps=True)
+    print(f"sim: input {x.shape} -> output {y.shape}")
+    print(f"QUAN_BIT: {qp.hw.quan_bits}\nBIAS_BIT: {qp.hw.bias_bits}\n"
+          f"PE_ACC_BIT: {qp.hw.pe_acc_bits}\nPE_ADD_BIT: {qp.hw.pe_add_bits}\n"
+          f"REQUAN_BIT: {qp.hw.requant_bits}\nREQUAN_N_MAX: {qp.hw.requant_n_max}")
+    if args.dump_dir:
+        os.makedirs(args.dump_dir, exist_ok=True)
+        np.savez_compressed(os.path.join(args.dump_dir, "dumps.npz"),
+                            y=np.asarray(y),
+                            **{k: np.asarray(v) for k, v in dumps.items()})
+        print(f"dumps -> {args.dump_dir}/dumps.npz")
+
+
+def cmd_export(args):
+    import jax.numpy as jnp
+    from sesr_tpu.config import spec_for_task
+    from sesr_tpu.quant.params import QuantParams
+    from sesr_tpu.quant.integer import integer_forward
+    from sesr_tpu.export.vectors import export_all
+    from sesr_tpu.data.datasets import load_reference_fixture
+
+    spec = spec_for_task(args.task)
+    qp = QuantParams.load(args.qparams)
+    x = np.load(args.fixture) if args.fixture else load_reference_fixture(args.task)
+    _, dumps = integer_forward(spec, qp, jnp.asarray(x), collect_dumps=True)
+    export_all(qp, dumps, list(spec.kernel_sizes), args.out_dir)
+    print(f"hex vectors -> {args.out_dir}/")
+
+
+def cmd_train(args):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from sesr_tpu.config import spec_for_task
+    from sesr_tpu.models.expanded import init_expanded, collapse_expanded
+    from sesr_tpu.quant.qat import QATConfig, prepare, make_train_step
+
+    spec = spec_for_task(args.task)
+    params = init_expanded(spec, jax.random.PRNGKey(args.seed))
+    cfg = QATConfig() if args.qat else None
+    qstate = prepare(spec, cfg or QATConfig())
+    opt = optax.adam(args.lr)
+    opt_state = opt.init(params)
+    step = jax.jit(make_train_step(spec, cfg, opt))
+
+    data = list(_dataset(args.task, args))
+    t0 = time.time()
+    for it in range(args.steps):
+        inp, gt = data[it % len(data)]
+        params, qstate, opt_state, loss = step(
+            params, qstate, opt_state, (jnp.asarray(inp), jnp.asarray(gt)))
+        if it % max(1, args.steps // 10) == 0:
+            print(f"step {it}: loss {float(loss):.6f}")
+    print(f"{args.steps} steps in {time.time()-t0:.1f}s")
+    if args.out:
+        collapsed = collapse_expanded(spec, params)
+        np.savez(args.out,
+                 **{f"w_{i}": np.asarray(w) for i, w in enumerate(collapsed.weights)},
+                 **{f"b_{i}": np.asarray(b) for i, b in enumerate(collapsed.biases)})
+        print(f"collapsed checkpoint -> {args.out}")
+
+
+def cmd_bench(args):
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run([sys.executable, os.path.join(repo, "bench.py")], check=True)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="sesr_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--task", required=True,
+                       choices=["nr", "dm", "nrdm_3", "nrdm_6", "sr_x4", "sr_x2"])
+        p.add_argument("--data", default=None)
+        p.add_argument("--checkpoint", default=None)
+        p.add_argument("--n-images", type=int, default=4)
+
+    p = sub.add_parser("eval-float", help="FP32 PSNR/SSIM baseline (test_float.py)")
+    common(p)
+    p.set_defaults(fn=cmd_eval_float)
+
+    p = sub.add_parser("calibrate", help="PTQ calibration + fake-quant eval (test.py)")
+    common(p)
+    p.add_argument("--out", required=True)
+    p.add_argument("--observer", default="minmax",
+                   choices=["minmax", "percentile", "kl"])
+    p.add_argument("--no-eval", action="store_true")
+    p.set_defaults(fn=cmd_calibrate)
+
+    p = sub.add_parser("sim", help="bit-exact integer sim (sim.py)")
+    common(p)
+    p.add_argument("--qparams", required=True)
+    p.add_argument("--fixture", default=None, help=".npy NHWC input")
+    p.add_argument("--dump-dir", default=None)
+    p.set_defaults(fn=cmd_sim)
+
+    p = sub.add_parser("export", help="RTL hex vectors (output.py / output_end2end.py)")
+    common(p)
+    p.add_argument("--qparams", required=True)
+    p.add_argument("--fixture", default=None)
+    p.add_argument("--out-dir", required=True)
+    p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("train", help="float / QAT training (train.py)")
+    common(p)
+    p.add_argument("--qat", action="store_true")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("bench", help="single-chip throughput benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

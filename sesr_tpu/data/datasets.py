@@ -1,0 +1,173 @@
+"""Datasets: Set5/Set14-style SR folders, DIV2K-RAW-style Bayer pairs, and
+synthetic fallbacks.
+
+The reference's loaders hardcode absolute paths on its author's machine
+(self_dataset.py:108,212; self_dataset_sr.py:103,158), so none of its data
+ships with the repo; these loaders take the directory layout as arguments
+and fall back to procedurally generated data when no directory is given.
+All items are NHWC float32 in [0, 1].
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from sesr_tpu.data.bayer import (
+    expand_bayer_plane, random_noise_levels, add_noise, mosaic, four2three,
+)
+
+
+def _imread_rgb(path: str) -> np.ndarray:
+    """Read a PNG/JPG as HWC RGB float in [0,1]."""
+    try:
+        import cv2
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise IOError(path)
+        if img.ndim == 2:
+            img = img[:, :, None].repeat(3, axis=2)
+        img = img[:, :, :3][:, :, ::-1]                 # BGR -> RGB
+    except ImportError:
+        from PIL import Image
+        img = np.asarray(Image.open(path).convert("RGB"))
+    img = img.astype(np.float32)
+    return img / (4095.0 if img.max() > 255 else 255.0)
+
+
+def _to_y(img_hwc: np.ndarray) -> np.ndarray:
+    """BT.601 Y in [0,1] (self_dataset_sr.py:198-201)."""
+    y = (65.481 * img_hwc[:, :, 0] + 128.553 * img_hwc[:, :, 1]
+         + 24.966 * img_hwc[:, :, 2] + 16.0) / 255.0
+    return np.clip(y, 0, 1)
+
+
+class SRFolderDataset:
+    """Set5/Set14-style GTmod12 + LRbicx{2,4} folder pairs
+    (self_dataset_sr.py:154-217): x4 yields Y-channel pairs, x2 RGB pairs."""
+
+    def __init__(self, gt_dir: str, scale: int):
+        assert scale in (2, 4)
+        self.scale = scale
+        self.gt_paths: List[str] = sorted(glob.glob(os.path.join(gt_dir, "*.png")))
+        if not self.gt_paths:
+            raise FileNotFoundError(f"no PNGs under {gt_dir}")
+        self.lr_dir = gt_dir.replace("GTmod12", f"LRbicx{scale}")
+
+    def __len__(self):
+        return len(self.gt_paths)
+
+    def __getitem__(self, i) -> Tuple[np.ndarray, np.ndarray]:
+        gt_path = self.gt_paths[i]
+        lr_path = os.path.join(self.lr_dir, os.path.basename(gt_path))
+        gt = _imread_rgb(gt_path)
+        inp = _imread_rgb(lr_path)
+        if self.scale == 4:
+            gt, inp = _to_y(gt)[:, :, None], _to_y(inp)[:, :, None]
+        return inp[None].astype(np.float32), gt[None].astype(np.float32)
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
+class RawBayerDataset:
+    """DIV2K-RAW-style pairs: `.raw` uint16 Bayer planes named
+    name_H_W.raw + matching 12-bit PNG ground truth (self_dataset.py:204-318).
+    The raw plane is expanded to the sparse 3-channel input."""
+
+    def __init__(self, raw_dir: str, png_dir: Optional[str] = None,
+                 add_test_noise: bool = False, seed: int = 0):
+        self.raw_paths = sorted(glob.glob(os.path.join(raw_dir, "*.raw")))
+        if not self.raw_paths:
+            raise FileNotFoundError(f"no .raw files under {raw_dir}")
+        self.png_dir = png_dir
+        self.add_test_noise = add_test_noise
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.raw_paths)
+
+    def __getitem__(self, i) -> Tuple[np.ndarray, np.ndarray]:
+        path = self.raw_paths[i]
+        base = os.path.basename(path)
+        ww, hh = int(base.split("_")[1]), int(base.split("_")[-1][:-4])
+        raw = np.fromfile(path, dtype=np.uint16).reshape(ww, hh)
+        inp = expand_bayer_plane(raw.astype(np.float32) / (2 ** 12 - 1))
+        if self.add_test_noise:
+            shot, read = random_noise_levels(self.rng)
+            inp, _ = add_noise(inp, shot, read, self.rng)
+        png = os.path.join(self.png_dir or os.path.dirname(path),
+                           base.split("_")[0] + ".png")
+        gt = _imread_rgb(png).transpose(2, 0, 1)
+        inp = np.clip(inp, 0, 1).transpose(1, 2, 0)
+        gt = np.clip(gt, 0, 1).transpose(1, 2, 0)
+        return inp[None].astype(np.float32), gt[None].astype(np.float32)
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
+class SyntheticDataset:
+    """Procedural stand-in when no real data directory is available: smooth
+    random images through the task-appropriate degradation (Bayer mosaic +
+    shot/read noise for nr/dm/nrdm per self_dataset.py:183-200; bicubic-ish
+    downscale for SR)."""
+
+    def __init__(self, task: str, n: int = 8, hw=(96, 128), seed: int = 0):
+        self.task, self.n, self.hw = task, n, hw
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def _smooth_image(self, rng, h, w, c=3):
+        small = rng.random((h // 8, w // 8, c), dtype=np.float32)
+        img = np.kron(small, np.ones((8, 8, 1), np.float32))
+        return np.clip(img, 0, 1)
+
+    def __getitem__(self, i) -> Tuple[np.ndarray, np.ndarray]:
+        rng = np.random.default_rng(self.seed + i)
+        h, w = self.hw
+        linrgb = self._smooth_image(rng, h, w)
+        t = self.task
+        if t in ("nr", "dm", "nrdm_3", "nrdm_6"):
+            four = mosaic(linrgb.transpose(2, 0, 1))
+            if t == "dm":
+                gt = linrgb
+                inp = four2three(four)
+            elif t == "nr":
+                gt = four2three(four).transpose(1, 2, 0)
+                noisy, _ = add_noise(four, *random_noise_levels(rng), rng)
+                inp = four2three(noisy)
+            else:
+                gt = linrgb
+                noisy, _ = add_noise(four, *random_noise_levels(rng), rng)
+                inp = four2three(noisy)
+            inp = np.clip(inp.transpose(1, 2, 0), 0, 1)
+            gt = np.clip(np.asarray(gt), 0, 1)
+        else:
+            scale = 4 if t == "sr_x4" else 2
+            gt = linrgb
+            inp = gt[::scale, ::scale, :]
+            if t == "sr_x4":
+                gt, inp = _to_y(gt)[:, :, None], _to_y(inp)[:, :, None]
+        return inp[None].astype(np.float32), gt[None].astype(np.float32)
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
+def load_reference_fixture(task: str, reference_root: str = "/root/reference"):
+    """The reference's golden sim inputs rand_{SR,DM}_Input_80x960.pt
+    (sim.py:197-205), as NHWC numpy."""
+    import torch
+    name = ("rand_SR_Input_80x960.pt" if task in ("sr_x4",)
+            else "rand_DM_Input_80x960.pt")
+    x = torch.load(os.path.join(reference_root, name), map_location="cpu")
+    return x.numpy().transpose(0, 2, 3, 1)

@@ -100,21 +100,29 @@ def _fq_conv_layer(x_fq, w_fq, bias_f, scale, zero, w_scale: float,
     return y + b_q
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 6))
 def _calibration_forward_impl(spec: SESRSpec, fq_weights, x,
-                              hw: HardwareConfig, exact_pe: bool):
+                              hw: HardwareConfig, exact_pe: bool,
+                              hist_bounds=None, collect_hist: bool = False):
     w_fq, w_scales, biases = fq_weights
     L = spec.num_convs
-    lows, highs = [], []
+    lows, highs, hists = [], [], []
+
+    def observe(h, d):
+        lows.append(jnp.min(h))
+        highs.append(jnp.max(h))
+        if collect_hist:
+            from sesr_tpu.quant.observers import histogram_on_device
+            hists.append(histogram_on_device(h, hist_bounds[d, 0],
+                                             hist_bounds[d, 1]))
 
     h = x
     c0 = None
     for i in range(L):
         if i == L - 1:
             h = h + c0                                  # outer residual add
-        h_fq, lo, hi, scale, zero = _dynamic_fake_quant(h, hw.quan_bits)
-        lows.append(lo)
-        highs.append(hi)
+        observe(h, i)
+        h_fq, _, _, scale, zero = _dynamic_fake_quant(h, hw.quan_bits)
         h = _fq_conv_layer(h_fq, w_fq[i], biases[i], scale, zero,
                            w_scales[i], hw, exact_pe)
         if i == 0:
@@ -123,12 +131,13 @@ def _calibration_forward_impl(spec: SESRSpec, fq_weights, x,
         elif i < L - 1:
             h = jax.nn.relu(h)
     # output domain L: observe post-bias last-conv output
-    lows.append(jnp.min(h))
-    highs.append(jnp.max(h))
+    observe(h, L)
     if spec.has_pixel_shuffle:
         h, _, _, _, _ = _dynamic_fake_quant(h, hw.quan_bits)
         h = pixel_shuffle_nhwc(h, spec.scaling_factor)
     minmax = jnp.stack([jnp.stack(lows), jnp.stack(highs)], axis=0)  # (2, L+1)
+    if collect_hist:
+        return h, minmax, jnp.stack(hists)              # (L+1, BINS)
     return h, minmax
 
 
@@ -158,9 +167,17 @@ def calibrate(spec: SESRSpec, params: CollapsedParams,
               images: Sequence[np.ndarray],
               hw: HardwareConfig = DEFAULT_HW,
               exact_pe: bool = True,
-              force_output_min_zero: bool = True) -> QuantParams:
+              force_output_min_zero: bool = True,
+              observer: str = "minmax",
+              percentile: float = 0.9999) -> QuantParams:
     """Run the calibration set through the fake-quant pipeline and finalize
-    a complete QuantParams (test.py eval loop + :186-217 finalize)."""
+    a complete QuantParams (test.py eval loop + :186-217 finalize).
+
+    observer: "minmax" (the reference's live strategy), "percentile", or
+    "kl" (KL-entropy — the strategy the reference abandoned, define.py:16-20;
+    see quant/observers.py). Histogram observers take a second pass that
+    accumulates per-domain 2048-bin histograms on device.
+    """
     fq_weights, w_int, w_scale = _prep_fq_weights(params, hw)
     L = spec.num_convs
     calib = CalibState.fresh(L + 1)
@@ -170,6 +187,28 @@ def calibrate(spec: SESRSpec, params: CollapsedParams,
         mm = np.asarray(minmax, np.float64)
         for d in range(L + 1):
             calib.update(d, mm[0, d], mm[1, d])
+
+    if observer != "minmax":
+        from sesr_tpu.quant.observers import (
+            BINS_NUM, percentile_bounds, kl_bounds)
+        bounds = jnp.asarray(
+            np.stack([calib.min_vals, calib.max_vals], axis=1), jnp.float32)
+        total = np.zeros((L + 1, BINS_NUM), np.int64)
+        for img in images:
+            x = jnp.asarray(img, jnp.float32)
+            _, _, hists = _calibration_forward_impl(
+                spec, fq_weights, x, hw, exact_pe, bounds, True)
+            total += np.asarray(hists, np.int64)
+        for d in range(L + 1):
+            lo, hi = calib.min_vals[d], calib.max_vals[d]
+            if observer == "percentile":
+                new_lo, new_hi = percentile_bounds(total[d], lo, hi, percentile)
+            elif observer == "kl":
+                new_lo, new_hi = kl_bounds(total[d], lo, hi)
+            else:
+                raise ValueError(f"unknown observer {observer!r}")
+            calib.min_vals[d], calib.max_vals[d] = new_lo, new_hi
+
     return finalize(spec, w_int, w_scale,
                     [np.asarray(b) for b in params.biases], calib, hw,
                     force_output_min_zero=force_output_min_zero)

@@ -1,0 +1,91 @@
+"""Percentile / KL calibration observers and the metrics module."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from sesr_tpu.config import spec_for_task
+from sesr_tpu.metrics import psnr, compute_psnr, ssim, evaluate_pair, three2one
+from sesr_tpu.quant.observers import (
+    histogram_on_device, percentile_bounds, kl_bounds, kl_threshold, BINS_NUM,
+)
+from sesr_tpu.quant.calibrate import calibrate
+from sesr_tpu.models.sesr import init_params
+import jax
+
+
+def test_histogram_on_device(rng):
+    x = jnp.asarray(rng.random(10000, dtype=np.float32))
+    h = np.asarray(histogram_on_device(x, 0.0, 1.0, 100))
+    assert h.sum() == 10000
+    ref, _ = np.histogram(np.asarray(x), bins=100, range=(0, 1))
+    # identical up to right-edge inclusion of the last bin
+    np.testing.assert_allclose(h, ref, atol=2)
+
+
+def test_percentile_bounds_clips_outliers(rng):
+    x = np.concatenate([rng.normal(0, 1, 100000), [50.0, -50.0]])
+    h, _ = np.histogram(x, bins=BINS_NUM, range=(-50, 50))
+    lo, hi = percentile_bounds(h, -50, 50, 0.999)
+    assert -5 < lo < -2 and 2 < hi < 5
+
+
+def test_kl_threshold_keeps_bulk(rng):
+    # concentrated bulk + tiny far outlier: KL clipping should cut the tail
+    x = np.abs(rng.normal(0, 1, 200000))
+    x[0] = 100.0
+    h, _ = np.histogram(x, bins=BINS_NUM, range=(0, 100))
+    lo, hi = kl_bounds(h, 0.0, 100.0)
+    assert lo == 0.0
+    assert hi < 50.0  # outlier clipped
+
+
+@pytest.mark.parametrize("observer", ["percentile", "kl"])
+def test_calibrate_with_histogram_observer(observer, rng):
+    spec = spec_for_task("nrdm_3")
+    params = init_params(spec, jax.random.PRNGKey(0))
+    imgs = [rng.random((1, 16, 24, 3), dtype=np.float32) for _ in range(2)]
+    qp_mm = calibrate(spec, params, imgs)
+    qp_obs = calibrate(spec, params, imgs, observer=observer)
+    # histogram observers can only shrink the ranges
+    for d in range(spec.num_convs + 1):
+        assert qp_obs.a_scale[d] <= qp_mm.a_scale[d] * (1 + 1e-9), d
+    # still produces a runnable artifact
+    from sesr_tpu.quant.integer import integer_forward
+    y, _ = integer_forward(spec, qp_obs, jnp.asarray(imgs[0]))
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_psnr_basics():
+    a = np.zeros((8, 8))
+    b = np.full((8, 8), 0.1)
+    assert abs(psnr(a, b, 1.0) - 20.0) < 1e-6
+    assert psnr(a, a) == float("inf")
+    assert 120 < compute_psnr(a * 255, a * 255) < 130  # eps-bounded, not inf
+
+
+def test_ssim_identity(rng):
+    x = rng.random((32, 32))
+    assert abs(ssim(x, x) - 1.0) < 1e-9
+    y = x + rng.normal(0, 0.1, x.shape)
+    assert ssim(x, np.clip(y, 0, 1)) < 0.99
+
+
+def test_three2one_sites(rng):
+    img = rng.random((4, 4, 3))
+    out = three2one(img)
+    assert out[0, 0] == img[0, 0, 0]
+    assert out[1, 0] == img[1, 0, 1]
+    assert out[0, 1] == img[0, 1, 1]
+    assert out[1, 1] == img[1, 1, 2]
+
+
+@pytest.mark.parametrize("task", ["nr", "dm", "nrdm_3", "sr_x4", "sr_x2"])
+def test_evaluate_pair_runs(task, rng):
+    spec = spec_for_task(task)
+    r = spec.scaling_factor
+    inp = rng.random((16, 16, spec.in_channels))
+    pred = rng.random((16 * r, 16 * r, spec.out_channels))
+    gt = rng.random((16 * r, 16 * r, spec.out_channels))
+    p, s = evaluate_pair(task, pred, gt, inp)
+    assert np.isfinite(p) and -1 <= s <= 1

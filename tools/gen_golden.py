@@ -265,6 +265,34 @@ def generate(task: str, out_path: str, fixture_hw=(32, 48), n_calib=3,
             out[f"fake_out_{j}"] = fake_outputs[j]
         out["n_calib"] = np.int64(n_calib)
 
+        # ---- run the reference hex exporters in the same workdir ---------
+        import subprocess
+        env = dict(os.environ, PYTHONPATH=REFERENCE)
+        for script in ("output.py", "output_end2end.py"):
+            r = subprocess.run([sys.executable, os.path.join(REFERENCE, script)],
+                               cwd=workdir, env=env, capture_output=True, text=True)
+            if r.returncode != 0:
+                raise RuntimeError(f"{script} failed: {r.stderr[-2000:]}")
+        # output_end2end.py overwrites output_txt/input/input.{0,5}.txt, so
+        # snapshot its two files under a separate key prefix ("e2e").
+        # Run order above matches the fact that output.py's input-tile files
+        # for layers 1..4 survive; re-run output.py's input target by
+        # re-executing output.py afterwards to restore the tile format.
+        for root, _, files in os.walk(os.path.join(workdir, "output_txt")):
+            for f in files:
+                rel = os.path.relpath(os.path.join(root, f), workdir)
+                with open(os.path.join(root, f)) as fh:
+                    out["e2e_txt:" + rel] = np.bytes_(fh.read().encode())
+        r = subprocess.run([sys.executable, os.path.join(REFERENCE, "output.py")],
+                           cwd=workdir, env=env, capture_output=True, text=True)
+        if r.returncode != 0:
+            raise RuntimeError(f"output.py rerun failed: {r.stderr[-2000:]}")
+        for root, _, files in os.walk(os.path.join(workdir, "output_txt")):
+            for f in files:
+                rel = os.path.relpath(os.path.join(root, f), workdir)
+                with open(os.path.join(root, f)) as fh:
+                    out["txt:" + rel] = np.bytes_(fh.read().encode())
+
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
         np.savez_compressed(out_path, **out)
         print(f"[gen_golden] {task}: wrote {out_path} "
