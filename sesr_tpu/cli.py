@@ -134,6 +134,7 @@ def cmd_train(args):
     from sesr_tpu.config import spec_for_task
     from sesr_tpu.models.expanded import init_expanded, collapse_expanded
     from sesr_tpu.quant.qat import QATConfig, prepare, make_train_step
+    from sesr_tpu.io.checkpoint import save_training_state, load_training_state
 
     spec = spec_for_task(args.task)
     params = init_expanded(spec, jax.random.PRNGKey(args.seed))
@@ -141,16 +142,26 @@ def cmd_train(args):
     qstate = prepare(spec, cfg or QATConfig())
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
+    start = 0
+    if args.resume and os.path.exists(args.resume):
+        params, qstate, opt_state, start = load_training_state(
+            args.resume, params, qstate, opt_state)
+        print(f"resumed from {args.resume} at step {start}")
     step = jax.jit(make_train_step(spec, cfg, opt))
 
     data = list(_dataset(args.task, args))
     t0 = time.time()
-    for it in range(args.steps):
+    for it in range(start, start + args.steps):
         inp, gt = data[it % len(data)]
         params, qstate, opt_state, loss = step(
             params, qstate, opt_state, (jnp.asarray(inp), jnp.asarray(gt)))
-        if it % max(1, args.steps // 10) == 0:
+        if (it - start) % max(1, args.steps // 10) == 0:
             print(f"step {it}: loss {float(loss):.6f}")
+        if args.resume and (it + 1) % args.save_every == 0:
+            save_training_state(args.resume, params, qstate, opt_state, it + 1)
+    if args.resume:
+        save_training_state(args.resume, params, qstate, opt_state,
+                            start + args.steps)
     print(f"{args.steps} steps in {time.time()-t0:.1f}s")
     if args.out:
         collapsed = collapse_expanded(spec, params)
@@ -210,6 +221,9 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None)
+    p.add_argument("--resume", default=None,
+                   help="training-state file to checkpoint to / resume from")
+    p.add_argument("--save-every", type=int, default=50)
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("bench", help="single-chip throughput benchmark")

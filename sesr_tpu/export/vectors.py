@@ -91,6 +91,14 @@ def export_input_tiles(qp: QuantParams, dumps: Dict[str, np.ndarray],
         hh_overlap -= ksched[d] // 2
         ww_overlap -= ksched[d] // 2
 
+        from sesr_tpu.export import native
+        if native.available():
+            text = native.input_tiles(data[0], qp.hw.quan_bits, TILE,
+                                      hh_overlap, ww_overlap)
+            if text is not None:
+                out[f"input.{d}.txt"] = text
+                continue
+
         parts = []
         bh = 0
         for hb in range(nhb):
@@ -135,7 +143,15 @@ def export_param_buf(qp: QuantParams) -> str:
 
 
 def _blocked_stream(data_chw: np.ndarray, bit_width: int) -> str:
-    """The pe_out/pe_add 32x32 block walk (output.py:143-232)."""
+    """The pe_out/pe_add 32x32 block walk (output.py:143-232).
+
+    Dispatches to the native core (native/hexport.cpp) when built; this
+    Python body is the executable spec and fallback."""
+    from sesr_tpu.export import native
+    if native.available():
+        out = native.blocked_stream(data_chw, bit_width, TILE)
+        if out is not None:
+            return out
     c, h, w = data_chw.shape
     exp_h = h if h % TILE == 0 else (h // TILE + 1) * TILE
     exp_w = w if w % TILE == 0 else (w // TILE + 1) * TILE

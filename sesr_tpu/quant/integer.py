@@ -99,19 +99,25 @@ def _integer_conv_pe(x_shift, i: int, qp: QuantParams, halo_axis=None):
         x_i32 = halo_exchange_w(x_i32, w_int.shape[0] // 2, halo_axis)
 
     pe_outs = []
+    overflow = jnp.zeros((), jnp.int32)
     for w_p in _pe_weight_masks(w_int, hw.pe):
         y_p = conv2d_nhwc(x_i32, jnp.asarray(w_p, jnp.int32),
                           preferred_element_type=jnp.int32, w_valid=w_valid)
         w_sum_p = w_p.sum(axis=(0, 1, 2))                    # (OC,)
         y_p = y_p + jnp.asarray(w_sum_p * zero_eff, jnp.int32)
-        y_p = saturate(y_p, hw.pe_acc_bits)
-        pe_outs.append(y_p)
+        y_sat = saturate(y_p, hw.pe_acc_bits)
+        # numeric sanitizer: count saturating accumulations (the reference's
+        # max_overflow/min_overflow print sentinels, quan_func.py:357-361)
+        overflow = overflow + jnp.sum((y_p != y_sat).astype(jnp.int32))
+        pe_outs.append(y_sat)
     pe_out = jnp.stack(pe_outs, axis=0)                      # (PE, N, H, W, OC)
 
-    pe_add = saturate(jnp.sum(pe_out, axis=0), hw.pe_add_bits)
+    pe_sum = jnp.sum(pe_out, axis=0)
+    pe_add = saturate(pe_sum, hw.pe_add_bits)
+    overflow = overflow + jnp.sum((pe_sum != pe_add).astype(jnp.int32))
     fused = jnp.asarray(qp.fused_bias(i), jnp.int32)         # (OC,)
     y = pe_add + fused
-    return pe_out, pe_add, y
+    return pe_out, pe_add, y, overflow
 
 
 def _requant_out(y_i32, i: int, L: int, qp: QuantParams):
@@ -139,9 +145,12 @@ def _integer_forward_impl(spec: SESRSpec, x, qp_static: QuantParams,
     dumps: Dict[str, jnp.ndarray] = {}
     h = x
     shortcut = None
+    overflows = []
     for i in range(L):
         x_q, x_shift = _quantize_domain_in(h, i, L, qp, shortcut)
-        pe_out, pe_add, y = _integer_conv_pe(x_shift, i, qp, halo_axis=halo_axis)
+        pe_out, pe_add, y, ovf = _integer_conv_pe(x_shift, i, qp,
+                                                  halo_axis=halo_axis)
+        overflows.append(ovf)
         h, extras = _requant_out(y, i, L, qp)
         if i == 0:
             shortcut = extras["shortcut"]
@@ -156,6 +165,9 @@ def _integer_forward_impl(spec: SESRSpec, x, qp_static: QuantParams,
                 dumps["shortcut"] = shortcut
             if i == L - 1:
                 dumps[f"input.{L}"] = extras["out_int8"]
+    if collect:
+        # per-layer saturation-event counts (debug-mode numeric sanitizer)
+        dumps["overflow_counts"] = jnp.stack(overflows)
     if spec.has_pixel_shuffle:
         h = pixel_shuffle_nhwc(h, spec.scaling_factor)
     return h, dumps
