@@ -288,6 +288,40 @@ def qat_forward(spec: SESRSpec, cfg: QATConfig, params: ExpandedParams,
 
 
 # --------------------------------------------------------------------------
+# quantized activation ops (library completeness: the reference also ships
+# QuantReLU :527-568, QuantLeakyReLU :570-612, QuantAdaptiveAvgPool2d
+# :616-651 — each fake-quants its INPUT then applies the float op)
+
+
+def quant_relu(cfg: QATConfig, state: QuantizerState, x, training: bool):
+    """QuantReLU.forward (:565-568). Returns (y, state')."""
+    st = _observe_act(cfg, state, x, training)
+    return jax.nn.relu(fake_quant(x, st, cfg.a_bits, cfg.q_type, False)), st
+
+
+def quant_leaky_relu(cfg: QATConfig, state: QuantizerState, x,
+                     negative_slope: float = 0.01, training: bool = True):
+    """QuantLeakyReLU.forward (:609-612)."""
+    st = _observe_act(cfg, state, x, training)
+    xq = fake_quant(x, st, cfg.a_bits, cfg.q_type, False)
+    return jnp.where(xq >= 0, xq, negative_slope * xq), st
+
+
+def quant_adaptive_avg_pool(cfg: QATConfig, state: QuantizerState, x,
+                            output_size, training: bool = True):
+    """QuantAdaptiveAvgPool2d.forward (:648-651): fake-quant then adaptive
+    average pool to (oh, ow) on NHWC input (exact for divisible sizes, the
+    only case the reference's networks could use)."""
+    st = _observe_act(cfg, state, x, training)
+    xq = fake_quant(x, st, cfg.a_bits, cfg.q_type, False)
+    n, h, w, c = xq.shape
+    oh, ow = output_size if isinstance(output_size, tuple) else (output_size,) * 2
+    assert h % oh == 0 and w % ow == 0, "adaptive pool needs divisible sizes"
+    xq = xq.reshape(n, oh, h // oh, ow, w // ow, c)
+    return xq.mean(axis=(2, 4)), st
+
+
+# --------------------------------------------------------------------------
 # training
 
 
