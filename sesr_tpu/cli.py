@@ -98,8 +98,10 @@ def cmd_sim(args):
         x = np.load(args.fixture)
     else:
         x = load_reference_fixture(args.task)
-    y, dumps = integer_forward(spec, qp, jnp.asarray(x), collect_dumps=True)
+    y, dumps = integer_forward(spec, qp, jnp.asarray(x), collect_dumps=True,
+                               corrected=args.corrected)
     print(f"sim: input {x.shape} -> output {y.shape}")
+    print("overflow counts per layer:", [int(v) for v in dumps["overflow_counts"]])
     print(f"QUAN_BIT: {qp.hw.quan_bits}\nBIAS_BIT: {qp.hw.bias_bits}\n"
           f"PE_ACC_BIT: {qp.hw.pe_acc_bits}\nPE_ADD_BIT: {qp.hw.pe_add_bits}\n"
           f"REQUAN_BIT: {qp.hw.requant_bits}\nREQUAN_N_MAX: {qp.hw.requant_n_max}")
@@ -205,6 +207,9 @@ def main(argv=None):
     p.add_argument("--qparams", required=True)
     p.add_argument("--fixture", default=None, help=".npy NHWC input")
     p.add_argument("--dump-dir", default=None)
+    p.add_argument("--corrected", action="store_true",
+                   help="deployment-quality datapath (fixes the reference's "
+                        "16-bit zero-correction truncation; not RTL-parity)")
     p.set_defaults(fn=cmd_sim)
 
     p = sub.add_parser("export", help="RTL hex vectors (output.py / output_end2end.py)")

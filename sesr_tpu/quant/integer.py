@@ -80,14 +80,27 @@ def _quantize_domain_in(x, i: int, L: int, qp: QuantParams, shortcut):
     return x_q, x_shift
 
 
-def _integer_conv_pe(x_shift, i: int, qp: QuantParams, halo_axis=None):
+def _integer_conv_pe(x_shift, i: int, qp: QuantParams, halo_axis=None,
+                     corrected: bool = False):
     """Steps 2-5: PE-split int32 conv, zero restoration, saturations, fused
     bias. Returns (pe_out [(PE, N, H, W, OC) clamped], pe_add, y_biased).
 
     With halo_axis set (sharded execution inside shard_map), the SHIFTED
     tensor exchanges its k//2-column halo — zero there == the zero padding
     F.conv2d applies upstream (quan_func.py:289-293) — and convs run
-    valid-W."""
+    valid-W.
+
+    corrected=True fixes a structural flaw in the reference datapath: the
+    zero-point correction z*sum(W_int) reaches ~2*10^5 for the shipped
+    checkpoints, but the reference first ADDS it into the 18-bit per-PE
+    accumulator (quan_func.py:353-356, often saturating on its own) and then
+    SUBTRACTS it inside the 16-bit fused-bias register (:480-486, where it
+    clamps at +-32767) — silently destroying most of the correction. (The
+    reference never scored this path; its sim.py PSNR loop is commented
+    out, sim.py:146-195.) The corrected mode uses the algebraically equal
+    but representable form conv(x_q - z) + bias_int directly: no
+    restoration, no correction in the bias, every term in range. Default is
+    the bit-exact reference behaviour (required for RTL vector parity)."""
     from sesr_tpu.ops.halo import halo_exchange_w
 
     hw = qp.hw
@@ -103,8 +116,9 @@ def _integer_conv_pe(x_shift, i: int, qp: QuantParams, halo_axis=None):
     for w_p in _pe_weight_masks(w_int, hw.pe):
         y_p = conv2d_nhwc(x_i32, jnp.asarray(w_p, jnp.int32),
                           preferred_element_type=jnp.int32, w_valid=w_valid)
-        w_sum_p = w_p.sum(axis=(0, 1, 2))                    # (OC,)
-        y_p = y_p + jnp.asarray(w_sum_p * zero_eff, jnp.int32)
+        if not corrected:
+            w_sum_p = w_p.sum(axis=(0, 1, 2))                # (OC,)
+            y_p = y_p + jnp.asarray(w_sum_p * zero_eff, jnp.int32)
         y_sat = saturate(y_p, hw.pe_acc_bits)
         # numeric sanitizer: count saturating accumulations (the reference's
         # max_overflow/min_overflow print sentinels, quan_func.py:357-361)
@@ -115,7 +129,11 @@ def _integer_conv_pe(x_shift, i: int, qp: QuantParams, halo_axis=None):
     pe_sum = jnp.sum(pe_out, axis=0)
     pe_add = saturate(pe_sum, hw.pe_add_bits)
     overflow = overflow + jnp.sum((pe_sum != pe_add).astype(jnp.int32))
-    fused = jnp.asarray(qp.fused_bias(i), jnp.int32)         # (OC,)
+    if corrected:
+        hi = (1 << (hw.bias_bits - 1)) - 1
+        fused = jnp.asarray(np.clip(qp.bias_int[i], -hi - 1, hi), jnp.int32)
+    else:
+        fused = jnp.asarray(qp.fused_bias(i), jnp.int32)     # (OC,)
     y = pe_add + fused
     return pe_out, pe_add, y, overflow
 
@@ -137,9 +155,10 @@ def _requant_out(y_i32, i: int, L: int, qp: QuantParams):
     return y, extras
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
 def _integer_forward_impl(spec: SESRSpec, x, qp_static: QuantParams,
-                          collect: bool, halo_axis=None):
+                          collect: bool, halo_axis=None,
+                          corrected: bool = False):
     L = spec.num_convs
     qp = qp_static
     dumps: Dict[str, jnp.ndarray] = {}
@@ -149,7 +168,8 @@ def _integer_forward_impl(spec: SESRSpec, x, qp_static: QuantParams,
     for i in range(L):
         x_q, x_shift = _quantize_domain_in(h, i, L, qp, shortcut)
         pe_out, pe_add, y, ovf = _integer_conv_pe(x_shift, i, qp,
-                                                  halo_axis=halo_axis)
+                                                  halo_axis=halo_axis,
+                                                  corrected=corrected)
         overflows.append(ovf)
         h, extras = _requant_out(y, i, L, qp)
         if i == 0:
@@ -174,7 +194,8 @@ def _integer_forward_impl(spec: SESRSpec, x, qp_static: QuantParams,
 
 
 def integer_forward(spec: SESRSpec, qp: QuantParams, x,
-                    collect_dumps: bool = False, halo_axis=None):
+                    collect_dumps: bool = False, halo_axis=None,
+                    corrected: bool = False):
     """Bit-exact integer forward. x: NHWC float in [0, 1].
 
     Returns (y, dumps). y is the dequantized float output (reference
@@ -185,9 +206,14 @@ def integer_forward(spec: SESRSpec, qp: QuantParams, x,
     ``halo_axis``: mesh axis name for spatially-sharded execution inside
     shard_map — every conv then halo-exchanges instead of zero-padding along
     W (parallel/tiling.py); results are bit-identical to monolithic.
+
+    ``corrected``: fix the reference datapath's 16-bit zero-correction
+    truncation (see _integer_conv_pe) — the deployment-quality integer mode;
+    False (default) is bit-exact with the reference RTL sim.
     """
     x = jnp.asarray(x, jnp.float32)
-    return _integer_forward_impl(spec, x, _hashable(qp), collect_dumps, halo_axis)
+    return _integer_forward_impl(spec, x, _hashable(qp), collect_dumps,
+                                 halo_axis, corrected)
 
 
 class _hashable:

@@ -146,3 +146,25 @@ class TestBitExact:
             assert diff.max() <= 1.5 * lsb, diff.max()
             assert (diff > 2e-4).mean() < 0.01
             np.testing.assert_allclose(np.asarray(y), y_ref, atol=1.5 * lsb)
+
+
+@pytest.mark.parametrize("task", ["nrdm_3", "sr_x4"])
+def test_corrected_mode_close_to_float(task, rng):
+    """corrected=True fixes the reference datapath's 16-bit zero-correction
+    truncation (see quant/integer.py): the integer output then tracks the
+    float model within quantization noise, where the reference-exact mode
+    can diverge by orders of magnitude more."""
+    from sesr_tpu.models.sesr import forward_float
+    from sesr_tpu.quant.integer import integer_forward
+
+    g = _load_golden(task)
+    spec, params, qp = _golden_qparams(task, g)
+    x = jnp.asarray(g["fixture"].transpose(0, 2, 3, 1))
+    y_float = np.asarray(forward_float(spec, params, x))
+    y_corr, _ = integer_forward(spec, qp, x, corrected=True)
+    y_exact, _ = integer_forward(spec, qp, x)
+    mad_corr = np.abs(np.asarray(y_corr) - np.clip(y_float, 0, None)).mean()
+    mad_exact = np.abs(np.asarray(y_exact) - np.clip(y_float, 0, None)).mean()
+    # output domain forces min=0, so compare against relu'd float output
+    assert mad_corr < 0.1, mad_corr
+    assert mad_corr < mad_exact
