@@ -169,7 +169,8 @@ def calibrate(spec: SESRSpec, params: CollapsedParams,
               exact_pe: bool = True,
               force_output_min_zero: bool = True,
               observer: str = "minmax",
-              percentile: float = 0.9999) -> QuantParams:
+              percentile: float = 0.9999,
+              safe_zero_floor: bool = False) -> QuantParams:
     """Run the calibration set through the fake-quant pipeline and finalize
     a complete QuantParams (test.py eval loop + :186-217 finalize).
 
@@ -211,4 +212,5 @@ def calibrate(spec: SESRSpec, params: CollapsedParams,
 
     return finalize(spec, w_int, w_scale,
                     [np.asarray(b) for b in params.biases], calib, hw,
-                    force_output_min_zero=force_output_min_zero)
+                    force_output_min_zero=force_output_min_zero,
+                    safe_zero_floor=safe_zero_floor)

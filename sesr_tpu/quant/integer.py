@@ -53,10 +53,19 @@ def _pe_weight_masks(w_int_hwio: np.ndarray, pe: int):
             for p in range(pe)]
 
 
-def _quantize_domain_in(x, i: int, L: int, qp: QuantParams, shortcut):
+def _quantize_domain_in(x, i: int, L: int, qp: QuantParams, shortcut,
+                        corrected: bool = False):
     """Domain-in handling (quan_func.py:217-293). Returns (x_q, x_shift):
     x_q is the int8 tensor the reference dumps as input.{i}.pt; x_shift is
-    x_q - max(zero, -128), the value actually convolved."""
+    x_q - max(zero, -128), the value actually convolved.
+
+    corrected=True widens the integer residual add: the reference shifts
+    both operands by -128 and clamps them to int8 BEFORE adding
+    (quan_func.py:250-252), which clips any branch value above 255 in the
+    shared domain-1 scale — measured on the shipped sr_x4 checkpoint the
+    branch reaches ~300. The corrected path adds the rounded operands at
+    16-bit width (a uint9+uint9 add, trivially representable in hardware)
+    and clamps only at the final int8 write."""
     bits = qp.hw.quan_bits
     qmin, qmax = float(-(1 << (bits - 1))), float((1 << (bits - 1)) - 1)
     zero = qp.a_zero[i]
@@ -69,9 +78,12 @@ def _quantize_domain_in(x, i: int, L: int, qp: QuantParams, shortcut):
         # both live in domain-1 scale; shift to signed, add, rescale by
         # s_1/s_{L-1}, move into domain L-1
         half = float(1 << (bits - 1))
-        res_c = jnp.clip(jnp.round(shortcut - half), qmin, qmax)
-        in_c = jnp.clip(jnp.round(x - half), qmin, qmax)
-        t = res_c + in_c + 2.0 * half
+        if corrected:
+            t = jnp.round(shortcut) + jnp.round(x)
+        else:
+            res_c = jnp.clip(jnp.round(shortcut - half), qmin, qmax)
+            in_c = jnp.clip(jnp.round(x - half), qmin, qmax)
+            t = res_c + in_c + 2.0 * half
         t = apply_requant_f32(t, qp.res_requant_m, qp.res_requant_n)
         x_q = jnp.clip(jnp.round(t + jnp.float32(zero)), qmin, qmax)
     else:
@@ -166,7 +178,7 @@ def _integer_forward_impl(spec: SESRSpec, x, qp_static: QuantParams,
     shortcut = None
     overflows = []
     for i in range(L):
-        x_q, x_shift = _quantize_domain_in(h, i, L, qp, shortcut)
+        x_q, x_shift = _quantize_domain_in(h, i, L, qp, shortcut, corrected)
         pe_out, pe_add, y, ovf = _integer_conv_pe(x_shift, i, qp,
                                                   halo_axis=halo_axis,
                                                   corrected=corrected)

@@ -198,12 +198,22 @@ def finalize(spec: SESRSpec,
              bias_f: Sequence[np.ndarray],
              calib: CalibState,
              hw: HardwareConfig = DEFAULT_HW,
-             force_output_min_zero: bool = True) -> QuantParams:
+             force_output_min_zero: bool = True,
+             safe_zero_floor: bool = False) -> QuantParams:
     """Turn calibration min/max into a complete QuantParams.
 
     Mirrors test.py:186-217 (incl. forcing the output domain's min to 0 so
     zero = -128, because the hardware cannot store zeros below -128) plus the
     requant-constant derivation of quan_func.py:517-611.
+
+    safe_zero_floor: when a domain's observed min is positive enough that
+    zero < -128, the reference simply floors the zero at execution time
+    (quan_func.py:289-293), which silently CLIPS the top of the
+    representable range (e.g. everything above 0.89 for a domain calibrated
+    to [0.08, 1.0]). With this flag the domain is re-anchored at min=0 so
+    zero == -128 exactly — the same remedy the reference applies, but only
+    to its output domain (test.py:205-217). Off by default (bit-exact
+    reference behaviour); used by the corrected deployment mode.
     """
     L = spec.num_convs
     a_scale, a_zero = [], []
@@ -212,6 +222,8 @@ def finalize(spec: SESRSpec,
         if d == L and force_output_min_zero:
             lo = 0.0
         s, z = asym_qparams(lo, hi, hw.quan_bits)
+        if safe_zero_floor and z < -(1 << (hw.quan_bits - 1)):
+            s, z = asym_qparams(0.0, hi, hw.quan_bits)
         a_scale.append(s)
         a_zero.append(z)
 

@@ -37,6 +37,8 @@ def evaluate(task: str, n: int = 6, observer: str = "minmax"):
     params = load_reference_checkpoint(task)
     data = list(SyntheticDataset(task, n=n, hw=(96, 128)))
     qp = calibrate(spec, params, [inp for inp, _ in data], observer=observer)
+    qp_safe = calibrate(spec, params, [inp for inp, _ in data],
+                        observer=observer, safe_zero_floor=True)
 
     rows = {"fp32": [], "fakequant": [], "int_sim": [], "int_corrected": []}
     for inp, gt in data:
@@ -45,7 +47,7 @@ def evaluate(task: str, n: int = 6, observer: str = "minmax"):
             "fp32": forward_float(spec, params, x),
             "fakequant": fake_quant_forward(spec, params, x),
             "int_sim": integer_forward(spec, qp, x)[0],
-            "int_corrected": integer_forward(spec, qp, x, corrected=True)[0],
+            "int_corrected": integer_forward(spec, qp_safe, x, corrected=True)[0],
         }
         for k, y in outs.items():
             p, s = evaluate_pair(task, np.asarray(y)[0], gt[0], inp[0])
