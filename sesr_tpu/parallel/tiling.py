@@ -75,3 +75,47 @@ def sharded_float_forward(spec: SESRSpec, params: CollapsedParams, mesh: Mesh):
         out_specs=P("dp", None, "sp", None),
     )
     return jax.jit(inner)
+
+
+def sharded_calibrate(spec: SESRSpec, params, images, mesh: Mesh,
+                      hw=None, **finalize_kwargs):
+    """Distributed PTQ calibration: the fake-quant forward runs sharded
+    (dp=batch, sp=W) with per-layer halo exchange; observer min/max reduce
+    over the whole mesh with pmin/pmax, so the resulting QuantParams match
+    single-device calibration (tests/test_sharding.py asserts equality up to
+    f32 conv reassociation).
+
+    This is the pod-scale replacement for the reference's per-call
+    torch.load/save observer files (quan_func.py:181-196): N chips calibrate
+    N shards of each image concurrently, with two collectives per layer.
+    """
+    import numpy as np
+    from sesr_tpu.config import DEFAULT_HW
+    from sesr_tpu.quant.calibrate import (_calibration_forward_impl,
+                                          _prep_fq_weights)
+    from sesr_tpu.quant.params import CalibState, finalize
+
+    hw = hw or DEFAULT_HW
+    fq_weights, w_int, w_scale = _prep_fq_weights(params, hw)
+    L = spec.num_convs
+
+    def local_fn(x):
+        _, minmax = _calibration_forward_impl(
+            spec, fq_weights, x, hw, True, None, False, ("dp", "sp"))
+        return minmax                                   # replicated across mesh
+
+    inner = jax.jit(shard_map(
+        local_fn, mesh=mesh,
+        in_specs=P("dp", None, "sp", None),
+        out_specs=P(),                                  # pmin/pmax replicate
+        check_vma=False,
+    ))
+
+    calib = CalibState.fresh(L + 1)
+    for img in images:
+        mm = np.asarray(inner(jnp.asarray(img, jnp.float32)), np.float64)
+        for d in range(L + 1):
+            calib.update(d, mm[0, d], mm[1, d])
+    return finalize(spec, w_int, w_scale,
+                    [np.asarray(b) for b in params.biases], calib, hw,
+                    **finalize_kwargs)

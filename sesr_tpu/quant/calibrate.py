@@ -43,13 +43,20 @@ from sesr_tpu.quant.params import (
 )
 
 
-def _dynamic_fake_quant(x, bits: int):
+def _dynamic_fake_quant(x, bits: int, axes=None):
     """Per-tensor dynamic asymmetric fake-quant. Returns (x_fq, lo, hi,
-    scale, zero) — scale/zero are traced f32 scalars used by the PE clamps."""
+    scale, zero) — scale/zero are traced f32 scalars used by the PE clamps.
+
+    `axes`: mesh axis names for spatially/batch-sharded calibration inside
+    shard_map — the min/max then reduce over the whole mesh (pmin/pmax over
+    ICI), making the dynamic quantization bit-identical to monolithic."""
     qmax = float(2 ** (bits - 1) - 1)
     qmin = float(-(2 ** (bits - 1)))
     lo = jnp.min(x)
     hi = jnp.max(x)
+    if axes is not None:
+        lo = jax.lax.pmin(lo, axes)
+        hi = jax.lax.pmax(hi, axes)
     scale = (hi - lo) / (qmax - qmin)
     zero = qmin - jnp.round(lo / scale)
     q = jnp.clip(jnp.round(x / scale + zero), qmin, qmax)
@@ -71,7 +78,7 @@ def _pe_partial_weights(w_hwio, pe: int):
 
 
 def _fq_conv_layer(x_fq, w_fq, bias_f, scale, zero, w_scale: float,
-                   hw: HardwareConfig, exact_pe: bool):
+                   hw: HardwareConfig, exact_pe: bool, w_valid: bool = False):
     """One conv in the fake-quant pipeline: PE-split conv with float
     saturation clamps + quantized bias."""
     acc_hi = float(2 ** (hw.pe_acc_bits - 1) - 1)
@@ -83,14 +90,14 @@ def _fq_conv_layer(x_fq, w_fq, bias_f, scale, zero, w_scale: float,
     if exact_pe:
         parts = []
         for w_p in _pe_partial_weights(w_fq, hw.pe):
-            y_p = conv2d_nhwc(x_fq, w_p)
+            y_p = conv2d_nhwc(x_fq, w_p, w_valid=w_valid)
             y_p = jnp.clip(y_p, (acc_lo - zero) * s_eff, (acc_hi - zero) * s_eff)
             parts.append(y_p)
         y = parts[0]
         for y_p in parts[1:]:
             y = y + y_p
     else:
-        y = conv2d_nhwc(x_fq, w_fq)
+        y = conv2d_nhwc(x_fq, w_fq, w_valid=w_valid)
     y = jnp.clip(y, (add_lo - zero) * s_eff, (add_hi - zero) * s_eff)
 
     # quantize-dequantize bias at scale s_a * s_w (quan_func.py:391-416)
@@ -100,21 +107,28 @@ def _fq_conv_layer(x_fq, w_fq, bias_f, scale, zero, w_scale: float,
     return y + b_q
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 6))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 6, 7))
 def _calibration_forward_impl(spec: SESRSpec, fq_weights, x,
                               hw: HardwareConfig, exact_pe: bool,
-                              hist_bounds=None, collect_hist: bool = False):
+                              hist_bounds=None, collect_hist: bool = False,
+                              axes=None):
     w_fq, w_scales, biases = fq_weights
     L = spec.num_convs
     lows, highs, hists = [], [], []
 
     def observe(h, d):
-        lows.append(jnp.min(h))
-        highs.append(jnp.max(h))
+        lo, hi = jnp.min(h), jnp.max(h)
+        if axes is not None:
+            lo = jax.lax.pmin(lo, axes)
+            hi = jax.lax.pmax(hi, axes)
+        lows.append(lo)
+        highs.append(hi)
         if collect_hist:
             from sesr_tpu.quant.observers import histogram_on_device
-            hists.append(histogram_on_device(h, hist_bounds[d, 0],
-                                             hist_bounds[d, 1]))
+            hist = histogram_on_device(h, hist_bounds[d, 0], hist_bounds[d, 1])
+            if axes is not None:
+                hist = jax.lax.psum(hist, axes)
+            hists.append(hist)
 
     h = x
     c0 = None
@@ -122,9 +136,13 @@ def _calibration_forward_impl(spec: SESRSpec, fq_weights, x,
         if i == L - 1:
             h = h + c0                                  # outer residual add
         observe(h, i)
-        h_fq, _, _, scale, zero = _dynamic_fake_quant(h, hw.quan_bits)
+        h_fq, _, _, scale, zero = _dynamic_fake_quant(h, hw.quan_bits, axes)
+        if axes is not None:
+            from sesr_tpu.ops.halo import halo_exchange_w
+            sp = axes[-1]
+            h_fq = halo_exchange_w(h_fq, w_fq[i].shape[0] // 2, sp)
         h = _fq_conv_layer(h_fq, w_fq[i], biases[i], scale, zero,
-                           w_scales[i], hw, exact_pe)
+                           w_scales[i], hw, exact_pe, w_valid=axes is not None)
         if i == 0:
             h = jax.nn.relu(h)
             c0 = h
@@ -133,7 +151,7 @@ def _calibration_forward_impl(spec: SESRSpec, fq_weights, x,
     # output domain L: observe post-bias last-conv output
     observe(h, L)
     if spec.has_pixel_shuffle:
-        h, _, _, _, _ = _dynamic_fake_quant(h, hw.quan_bits)
+        h, _, _, _, _ = _dynamic_fake_quant(h, hw.quan_bits, axes)
         h = pixel_shuffle_nhwc(h, spec.scaling_factor)
     minmax = jnp.stack([jnp.stack(lows), jnp.stack(highs)], axis=0)  # (2, L+1)
     if collect_hist:

@@ -79,3 +79,25 @@ def test_halo_mode_unsharded_equals_same_mode():
     y_halo = forward_float(spec, params, jnp.asarray(x), halo_axis=None)
     np.testing.assert_allclose(np.asarray(y_halo), np.asarray(y_same),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_calibration_matches_monolithic(rng):
+    """Distributed calibration (pmin/pmax over the mesh) produces the same
+    quantization constants as single-device calibration."""
+    from sesr_tpu.parallel.tiling import sharded_calibrate
+    from sesr_tpu.quant.calibrate import calibrate
+    from sesr_tpu.io.torch_import import load_reference_checkpoint
+
+    spec = spec_for_task("nrdm_3")
+    params = load_reference_checkpoint("nrdm_3")
+    imgs = [rng.random((2, 16, 48, 3), dtype=np.float32) for _ in range(2)]
+    mesh = make_mesh(8, dp=2, sp=4)
+
+    qp_mono = calibrate(spec, params, imgs)
+    qp_shard = sharded_calibrate(spec, params, imgs, mesh)
+
+    for d in range(spec.num_convs + 1):
+        assert qp_shard.a_scale[d] == pytest.approx(qp_mono.a_scale[d], rel=1e-6), d
+        assert qp_shard.a_zero[d] == qp_mono.a_zero[d], d
+    assert qp_shard.requant_m == qp_mono.requant_m
+    assert qp_shard.requant_n == qp_mono.requant_n
