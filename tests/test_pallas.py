@@ -11,7 +11,7 @@ from sesr_tpu.quant.integer import integer_forward
 from tests.test_integer_bitexact import _load_golden, _golden_qparams
 
 
-@pytest.mark.parametrize("task", ["nrdm_3", "sr_x4"])
+@pytest.mark.parametrize("task", ["nrdm_3", "sr_x4", "sr_x2"])
 def test_pallas_bit_exact_vs_interpreter(task, rng):
     g = _load_golden(task)
     spec, params, qp = _golden_qparams(task, g)

@@ -26,7 +26,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = "/root/reference"
 
-TASK_MFLAG = {"nrdm_3": 3, "sr_x4": 5}
+TASK_MFLAG = {"nrdm_3": 3, "sr_x4": 5, "sr_x2": 6}
 
 
 def _install_define_stub(mflag: int):
@@ -58,6 +58,11 @@ def _build_models(task: str):
         from models import sesr, sesr_sim
         calib_model, sim_model = sesr.sesr(), sesr_sim.sesr()
         ckpt = torch.load(f"{REFERENCE}/model_params/x4sesr.pth", map_location="cpu")
+    elif task == "sr_x2":
+        from models import sesr_arch, sesr_arch_sim
+        calib_model, sim_model = sesr_arch.sesr(), sesr_arch_sim.sesr()
+        ckpt = torch.load(f"{REFERENCE}/model_params/x2sesr.pth.tar",
+                          map_location="cpu", weights_only=False)["state_dict"]
     elif task == "nrdm_3":
         from models import nrdm_3, nrdm_3_sim
         calib_model, sim_model = nrdm_3.nr(), nrdm_3_sim.nr()
@@ -195,7 +200,9 @@ def generate(task: str, out_path: str, fixture_hw=(32, 48), n_calib=3,
         calib_images = [rng.random((1, in_ch, h, w)).astype(np.float32)
                         for _ in range(n_calib)]
         if full_fixture:
-            name = "rand_SR_Input_80x960.pt" if task == "sr_x4" else "rand_DM_Input_80x960.pt"
+            name = "rand_DM_Input_80x960.pt" if task == "nrdm_3" else "rand_SR_Input_80x960.pt"
+            if task == "sr_x2":
+                name = "rand_DM_Input_80x960.pt"   # 3-channel input
             fixture = torch.load(f"{REFERENCE}/{name}", map_location="cpu").numpy()
         else:
             fixture = rng.random((1, in_ch, h, w)).astype(np.float32)
