@@ -28,16 +28,16 @@ performs the integer residual add of the last conv's input in-kernel
 Bit-exactness vs quant/integer.py is asserted in tests/test_pallas.py
 (interpret mode on CPU) and verified identical on a real TPU v5e.
 
-STATUS / PERFORMANCE (TPU v5e, SESR-x2 540x960): this kernel measures
-~20-26 Mpx/s against ~7000+ Mpx/s for the XLA integer pipeline
-(quant/integer.py under jit), which is therefore the production default.
-The gap is data movement, not math: with C=16 channels on the 128-wide lane
+STATUS / PERFORMANCE (TPU v5e, SESR-x2 540x960, readback-synced timing —
+see bench.py for why naive timing lies on this backend): this kernel runs
+at ~21 Mpx/s, on par with the XLA bf16 PE-exact interpreter (~22 Mpx/s)
+and 5x faster than the literal int32 lowering (~4 Mpx/s). Its current
+bound is VPU data movement: with C=16 channels on the 128-wide lane
 dimension every f32 VMEM buffer is 8x padded, and the per-tap circular
-rolls + lane-concats are VPU-bound relayouts of those padded buffers that
-dwarf the (tiny) MXU matmuls. A competitive fused kernel needs the
-(C-in-sublane, W-in-lane) layout with per-row (OC, C) x (C, W) matmuls —
-planned follow-up; the kernel is kept as a correct, bit-exact alternative
-backend and the scaffold for that work.
+rolls + lane-concats are relayouts of those padded buffers that rival the
+MXU matmul time. Next step for beating the XLA paths outright: a
+channel-packed (space-to-depth) tile layout so K and N fill the MXU —
+tracked for round 2.
 """
 
 from __future__ import annotations

@@ -178,3 +178,17 @@ def test_corrected_mode_close_to_float(task, rng):
     # output domain forces min=0, so compare against relu'd float output
     assert mad_corr < 0.1, mad_corr
     assert mad_corr < mad_exact
+
+
+@pytest.mark.parametrize("task", ["nrdm_3", "sr_x2"])
+def test_compute_modes_identical(task, rng):
+    """The bf16 MXU lowering is bit-identical to the literal int32 lowering
+    (range analysis in quant/integer.py); goldens pin both to the reference."""
+    from sesr_tpu.quant.integer import integer_forward
+
+    g = _load_golden(task)
+    spec, params, qp = _golden_qparams(task, g)
+    x = jnp.asarray(rng.random((1, 40, 56, spec.in_channels), dtype=np.float32))
+    y_bf, _ = integer_forward(spec, qp, x, compute="bf16")
+    y_i32, _ = integer_forward(spec, qp, x, compute="int32")
+    np.testing.assert_array_equal(np.asarray(y_bf), np.asarray(y_i32))
