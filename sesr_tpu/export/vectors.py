@@ -128,7 +128,7 @@ def export_input_tiles(qp: QuantParams, dumps: Dict[str, np.ndarray],
 def export_param_buf(qp: QuantParams) -> str:
     """param_buf.txt: per-channel {fused bias16, requant16, requant_res16}
     records (output.py:121-141)."""
-    parts = [int_to_hex(5, 8), "\n"]
+    parts = [int_to_hex(qp.num_convs, 8), "\n"]
     res_hex = int_to_hex(qp.res_requant_m, qp.hw.requant_bits)
     for i in range(qp.num_convs):
         fused = qp.fused_bias(i)
@@ -195,7 +195,7 @@ def export_pe_add(qp: QuantParams, dumps: Dict[str, np.ndarray]) -> Dict[str, st
 
 def export_requant_shifts(qp: QuantParams) -> str:
     """requan_shift_n.txt (output.py:234-245)."""
-    width = math.log2(qp.hw.requant_n_max)
+    width = int(math.log2(qp.hw.requant_n_max))
     parts = []
     for i in range(qp.num_convs):
         parts.append(int_to_hex(qp.requant_n[i], width))

@@ -163,9 +163,6 @@ def build_pallas_forward(spec: SESRSpec, qp: QuantParams, H: int, W: int,
     Hp = -(-H // tile_h) * tile_h
     Wp = -(-W // tile_w) * tile_w
     c_in, c_out = spec.in_channels, spec.conv_out_channels
-    # rows/cols consumed between the layer-0 output (the shortcut) and the
-    # last conv's input
-    sc_margin = sum(k // 2 for k in ks[1:-1])
 
     def kernel(x_ref, *rest):
         out_ref = rest[3 * L]

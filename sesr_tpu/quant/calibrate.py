@@ -57,7 +57,12 @@ def _dynamic_fake_quant(x, bits: int, axes=None):
     if axes is not None:
         lo = jax.lax.pmin(lo, axes)
         hi = jax.lax.pmax(hi, axes)
-    scale = (hi - lo) / (qmax - qmin)
+    # degenerate all-equal domain: the reference asserts "Input tensor is all
+    # equal" (quan_func.py:196); inside jit we cannot raise on a traced value,
+    # so floor the scale at a denormal-safe epsilon — the quantized tensor is
+    # then exactly constant instead of NaN, and finalize() (host-side, eager)
+    # still surfaces the degenerate range to the caller.
+    scale = jnp.maximum((hi - lo) / (qmax - qmin), jnp.float32(1e-30))
     zero = qmin - jnp.round(lo / scale)
     q = jnp.clip(jnp.round(x / scale + zero), qmin, qmax)
     return (q - zero) * scale, lo, hi, scale, zero

@@ -249,8 +249,7 @@ def _quant_conv(cfg, cstate: ConvQuantState, x, w_hwio, bias, training):
 
 def _quant_add(cfg, astate: AddQuantState, res, shortcut, training):
     """QuantAdd.forward (:697-711): union min/max across both inputs."""
-    rs = _observe_act(cfg, astate.res, res, training) if not cfg.ptq else \
-        _observe_act(cfg, astate.res, res, training)
+    rs = _observe_act(cfg, astate.res, res, training)
     ss = _observe_act(cfg, astate.shortcut, shortcut, training)
     union = QuantizerState(jnp.minimum(rs.min_val, ss.min_val),
                            jnp.maximum(rs.max_val, ss.max_val),

@@ -63,13 +63,23 @@ def test_divergence_zero_when_unsaturated(rng):
     assert strict_vs_fast_divergence(x, w) == 0
 
 
-def test_divergence_detected_when_saturating(rng):
-    x = np.full((1, 6, 6, 4), 127, np.int32) * 100
-    w = np.zeros((3, 3, 4, 2), np.int32)
-    w[1, 1, :, 0] = 127
-    w[0, 0, :, 0] = -127      # transient overshoot then cancel
-    w[1, 1, :, 1] = 127
-    # at least the all-positive column saturates identically; the mixed
-    # column may saturate transiently only in the strict model
+def test_divergence_detected_when_saturating():
+    """Transient-only saturation: five +127 taps then four -127 taps on a
+    constant x=255 image (all values within the real datapath's ranges).
+    In the reference scan order (channel, row, column — quan_modules.py:87-93)
+    the strict running sum reaches 5*255*127 = 161925 and clamps at
+    2^17-1 = 131071 before the negative taps pull it back, so strict interior
+    outputs are 131071 - 4*32385 = 1531; the clamp-once fast model's final
+    sum is 1*32385 = 32385 and never saturates. Divergence must be positive
+    and cover every interior position."""
+    h = w_dim = 6
+    x = np.full((1, h, w_dim, 1), 255, np.int32)
+    w = np.zeros((3, 3, 1, 1), np.int32)
+    w[0, 0, 0, 0] = w[0, 1, 0, 0] = w[0, 2, 0, 0] = 127
+    w[1, 0, 0, 0] = w[1, 1, 0, 0] = 127
+    w[1, 2, 0, 0] = w[2, 0, 0, 0] = w[2, 1, 0, 0] = w[2, 2, 0, 0] = -127
     d = strict_vs_fast_divergence(x, w)
-    assert d >= 0  # smoke: runs; exactness asserted vs reference above
+    assert d >= (h - 2) * (w_dim - 2)   # every fully-interior position flips
+    # and the strict value itself is the hand-computed clamped trajectory
+    strict = np.asarray(conv_per_mac_saturating(jnp.asarray(x), w))
+    assert strict[0, 2, 2, 0] == (1 << 17) - 1 - 4 * 255 * 127
