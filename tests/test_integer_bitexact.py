@@ -27,6 +27,13 @@ from sesr_tpu.quant.integer import integer_forward
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
+# Every task with a reference-generated golden. nr/dm run the reference's
+# MFLAG 1/2 sim composition, where the model's AddOp stays in the integer
+# graph and the shortcut is double-counted (quant/integer.py
+# residual_mode="graph_add").
+GOLDEN_TASKS = ["nrdm_3", "sr_x4", "sr_x2", "nr", "dm"]
+RESIDUAL_MODE = {"nr": "graph_add", "dm": "graph_add"}
+
 
 def _load_golden(task):
     path = os.path.join(GOLDEN_DIR, f"{task}.npz")
@@ -58,7 +65,7 @@ def _golden_qparams(task, g):
     return spec, params, qp
 
 
-@pytest.mark.parametrize("task", ["nrdm_3", "sr_x4", "sr_x2"])
+@pytest.mark.parametrize("task", GOLDEN_TASKS)
 class TestBitExact:
     def test_weight_quantization(self, task):
         g = _load_golden(task)
@@ -93,7 +100,8 @@ class TestBitExact:
         spec, params, qp = _golden_qparams(task, g)
         L = qp.num_convs
         x = jnp.asarray(g["fixture"].transpose(0, 2, 3, 1))     # NCHW -> NHWC
-        y, dumps = integer_forward(spec, qp, x, collect_dumps=True)
+        y, dumps = integer_forward(spec, qp, x, collect_dumps=True,
+                                   residual_mode=RESIDUAL_MODE.get(task, "sim"))
 
         def nchw(a):
             return np.asarray(a).transpose(0, 3, 1, 2)

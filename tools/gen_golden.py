@@ -26,7 +26,19 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = "/root/reference"
 
-TASK_MFLAG = {"nrdm_3": 3, "sr_x4": 5, "sr_x2": 6}
+TASK_MFLAG = {"nrdm_3": 3, "sr_x4": 5, "sr_x2": 6, "nr": 1, "dm": 2}
+
+# MFLAG value installed in the define stub. For nr/dm (MFLAG 1/2) the
+# reference's own calibration cannot complete: the output domain (id=5) is
+# observed either by the PixelShuffle quant node (absent in nr/dm) or by the
+# `MFLAG == 3 and func_id == 4` branch of PEs_and_bias_adder
+# (quan_func.py:460-479), so with MFLAG=1/2 input.5.{min,max}_val.pt is never
+# written and test.py:205-217 / the exe_mode=1 requant both crash. MFLAG is
+# used NOWHERE else in the library code (grep-verified: quan_func.py:460 is
+# the only live use), so installing MFLAG=3 while building the nr/dm models
+# directly runs 100% reference numerics with its own domain-5 observer
+# enabled — the minimal completion of the flow its author left broken.
+TASK_STUB_MFLAG = {"nrdm_3": 3, "sr_x4": 5, "sr_x2": 6, "nr": 3, "dm": 3}
 
 
 def _install_define_stub(mflag: int):
@@ -67,6 +79,18 @@ def _build_models(task: str):
         from models import nrdm_3, nrdm_3_sim
         calib_model, sim_model = nrdm_3.nr(), nrdm_3_sim.nr()
         ckpt = torch.load(f"{REFERENCE}/model_params/nrdm_3_raw_G.pth",
+                          map_location="cpu")
+    elif task in ("nr", "dm"):
+        # sim.py:33-41 runs the NON-sim models for MFLAG 1/2 — the AddOp
+        # stays in the integer graph (shortcut double-add quirk; see
+        # quant/integer.py residual_mode="graph_add").
+        if task == "nr":
+            from models import nr as mod
+            calib_model, sim_model = mod.nr(), mod.nr()
+        else:
+            from models import dm as mod
+            calib_model, sim_model = mod.dm(), mod.dm()
+        ckpt = torch.load(f"{REFERENCE}/model_params/{task}_G.pth",
                           map_location="cpu")
     else:
         raise ValueError(task)
@@ -183,7 +207,7 @@ def generate(task: str, out_path: str, fixture_hw=(32, 48), n_calib=3,
     import torch
 
     mflag = TASK_MFLAG[task]
-    _install_define_stub(mflag)
+    _install_define_stub(TASK_STUB_MFLAG[task])
     sys.path.insert(0, REFERENCE)
     workdir = tempfile.mkdtemp(prefix=f"golden_{task}_")
     cwd = os.getcwd()
@@ -200,9 +224,9 @@ def generate(task: str, out_path: str, fixture_hw=(32, 48), n_calib=3,
         calib_images = [rng.random((1, in_ch, h, w)).astype(np.float32)
                         for _ in range(n_calib)]
         if full_fixture:
-            name = "rand_DM_Input_80x960.pt" if task == "nrdm_3" else "rand_SR_Input_80x960.pt"
-            if task == "sr_x2":
-                name = "rand_DM_Input_80x960.pt"   # 3-channel input
+            # 3-channel tasks use the DM fixture; only sr_x4 is 1-channel
+            name = "rand_SR_Input_80x960.pt" if task == "sr_x4" \
+                else "rand_DM_Input_80x960.pt"
             fixture = torch.load(f"{REFERENCE}/{name}", map_location="cpu").numpy()
         else:
             fixture = rng.random((1, in_ch, h, w)).astype(np.float32)
