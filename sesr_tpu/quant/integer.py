@@ -215,6 +215,13 @@ def _integer_forward_impl(spec: SESRSpec, x, qp_static: QuantParams,
                           residual_mode: str = "sim"):
     L = spec.num_convs
     qp = qp_static
+    if compute == "fast" and not getattr(qp, "fast_cert_ok", False):
+        raise ValueError(
+            "compute='fast' requires a certified QuantParams: the fast "
+            "datapath skips the per-PE 18-bit saturation stage and is only "
+            "exact when certify_fast() has proven saturation-freedom over a "
+            "calibration set (quant/certify.py). Run certify_fast() and use "
+            "the stamped artifact, or use compute='bf16' (PE-exact).")
     dumps: Dict[str, jnp.ndarray] = {}
     h = x
     shortcut = None

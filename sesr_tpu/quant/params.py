@@ -86,6 +86,16 @@ class QuantParams:
     requant_n: List[int]
     res_requant_m: int                  # residual-add rescale s_1/s_{L-1}
     res_requant_n: int
+    # fast-mode certificate (quant/certify.py): the deployment fast path
+    # (single full-channel conv per layer, no per-PE 18-bit saturation) is
+    # only exact when no accumulator ever saturates; certify_fast() verifies
+    # that over a calibration set (overflow counters + per-layer per-MAC
+    # strict divergence + fast==PE-exact equality) and stamps the result
+    # here. compute="fast" REFUSES an uncertified artifact
+    # (quant/integer.py). The sentinel being productized is the reference's
+    # max_overflow/min_overflow print (quan_func.py:357-361).
+    fast_cert_ok: bool = False
+    fast_cert_images: int = 0
 
     @property
     def num_convs(self) -> int:
@@ -126,6 +136,8 @@ class QuantParams:
             requant_m=self.requant_m, requant_n=self.requant_n,
             res_requant_m=self.res_requant_m, res_requant_n=self.res_requant_n,
             num_convs=self.num_convs,
+            fast_cert_ok=self.fast_cert_ok,
+            fast_cert_images=self.fast_cert_images,
         )
         np.savez(path, __meta__=json.dumps(meta), **arrays)
 
@@ -147,6 +159,8 @@ class QuantParams:
             requant_n=[int(n) for n in meta["requant_n"]],
             res_requant_m=int(meta["res_requant_m"]),
             res_requant_n=int(meta["res_requant_n"]),
+            fast_cert_ok=bool(meta.get("fast_cert_ok", False)),
+            fast_cert_images=int(meta.get("fast_cert_images", 0)),
         )
 
 

@@ -61,6 +61,71 @@ def conv_per_mac_saturating(x_nhwc, w_hwio, acc_bits: int = 18):
     return acc
 
 
+def strict_integer_forward(spec, qp, x, residual_mode: str = "sim"):
+    """Whole-network strict integer forward — the generalized port of the
+    reference's hand-unrolled `sesr_forward_sim` (quan_modules.py:101-201).
+
+    Per conv i, exactly as the reference composes it:
+      1. domain-in quantization (quantize_asymmetrical_by_tensor, exe_mode=1)
+         — shared with the fast interpreter (quant/integer.py), it is
+         bit-exact against the goldens at this stage;
+      2. PE-split conv via `conv_forward_naive`'s per-MAC-saturating
+         accumulator in the reference tap order (quan_modules.py:81-95).
+         The reference masks input channels c % 4 != p to zero per PE
+         (reshape_input_for_hardware_pe); masking the WEIGHTS instead gives
+         the identical per-MAC trajectory (a zero operand contributes an
+         exact 0 to an already-clamped accumulator either way);
+      3. per-PE zero restoration + 18-bit clamp
+         (reshape_ouput_for_hardware_pe, quan_func.py:336-370) — note the
+         restoration lands on the ALREADY per-MAC-clamped partial sum and
+         clamps again, exactly as the reference layers the two functions;
+      4. 4-PE sum clamped to 20 bits + fused bias (PEs_and_bias_adder);
+      5. requant wiring + ReLU (requan_conv2d_output; the trailing
+         F.relu(output_4) of the reference is a no-op because the output
+         domain forces min=0).
+
+    Validated bit-exactly against the reference's own sesr_forward_sim run
+    (tests/test_strict.py::test_whole_net_strict_vs_reference). This is the
+    strictest executable model of the ASIC in the repo and the adjudicator
+    for kernels whenever transient per-MAC saturation matters; where no
+    accumulator saturates (calibration-certified), it agrees exactly with
+    the fast interpreter — asserted per task in
+    tests/test_strict.py::test_whole_net_strict_matches_fast.
+    """
+    import jax.numpy as jnp
+    from sesr_tpu.quant.integer import (_quantize_domain_in, _requant_out,
+                                        _pe_weight_masks)
+    from sesr_tpu.ops.conv import pixel_shuffle_nhwc
+
+    hw = qp.hw
+    L = spec.num_convs
+    x = jnp.asarray(x, jnp.float32)
+    h = x
+    shortcut = None
+    for i in range(L):
+        if i == L - 1 and residual_mode == "graph_add":
+            h = h + shortcut
+        x_q, x_shift = _quantize_domain_in(h, i, L, qp, shortcut)
+        x_i32 = x_shift.astype(jnp.int32)
+        zero_eff = qp.effective_zero(i)
+        total = None
+        for p, w_p in enumerate(_pe_weight_masks(np.asarray(qp.w_int[i]), hw.pe)):
+            y_p = conv_per_mac_saturating(x_i32, w_p, hw.pe_acc_bits)
+            zsum = jnp.asarray(w_p.sum(axis=(0, 1, 2)) * zero_eff, jnp.int32)
+            y_p = saturate(y_p + zsum, hw.pe_acc_bits)
+            total = y_p if total is None else total + y_p
+        pe_add = saturate(total, hw.pe_add_bits)
+        y = pe_add + jnp.asarray(qp.fused_bias(i), jnp.int32)
+        h, extras = _requant_out(y.astype(jnp.float32), i, L, qp)
+        if i == 0:
+            shortcut = extras["shortcut"]
+        if i < L - 1:
+            h = jax.nn.relu(h)
+    if spec.has_pixel_shuffle:
+        h = pixel_shuffle_nhwc(h, spec.scaling_factor)
+    return h
+
+
 def strict_vs_fast_divergence(x_nhwc, w_hwio, hw: HardwareConfig = DEFAULT_HW):
     """Count positions where the per-MAC-saturating model disagrees with the
     clamp-once-at-the-end model — a calibration-time check that transient

@@ -324,6 +324,31 @@ def generate(task: str, out_path: str, fixture_hw=(32, 48), n_calib=3,
                 with open(os.path.join(root, f)) as fh:
                     out["txt:" + rel] = np.bytes_(fh.read().encode())
 
+        # ---- reference strict whole-net run (sesr_forward_sim) -----------
+        # quan_modules.sesr_forward_sim is the reference's hand-unrolled
+        # per-MAC-saturating integer forward (quan_modules.py:101-201). It is
+        # hard-coded to the 5-conv PixelShuffle(4) net, so only sr_x4 can run
+        # it. It OVERWRITES output_pt dumps (input.*.pt, pe_out, shortcut),
+        # so it must run after every txt/pt capture above. Its python-loop
+        # conv is ~O(HW * k^2 * C * F) torch scalar ops — use a tiny fixture.
+        if task == "sr_x4":
+            sys.path.insert(0, REFERENCE)
+            try:
+                from myQL import quan_modules
+            finally:
+                sys.path.remove(REFERENCE)
+            strict_fix = rng.random((1, in_ch, 12, 16)).astype(np.float32)
+            orig_cuda = torch.Tensor.cuda
+            torch.Tensor.cuda = lambda self, *a, **k: self
+            try:
+                with torch.no_grad():
+                    strict_out = quan_modules.sesr_forward_sim(
+                        torch.from_numpy(strict_fix))
+            finally:
+                torch.Tensor.cuda = orig_cuda
+            out["strict_fixture"] = strict_fix
+            out["strict_gfake"] = strict_out.numpy()
+
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
         np.savez_compressed(out_path, **out)
         print(f"[gen_golden] {task}: wrote {out_path} "

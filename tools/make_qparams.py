@@ -6,10 +6,20 @@ These artifacts are the product analog of the reference's output_pt/ tree
 with the repo, loaded by __graft_entry__.py and bench.py without needing a
 calibration pass (or any device->host traffic) at load time.
 
-Calibration set: fixed-seed synthetic images in [0,1] (the reference's
-datasets are absolute paths on the author's machine, self_dataset.py:108,212,
-and are not available; PSNR-accurate calibration on real data is a plug-in
-replacement — pass --images DIR with .npy files).
+Calibration set: the task-appropriate synthetic natural-image pipeline
+(data/datasets.py SyntheticDataset — smooth images through the Bayer
+mosaic + shot/read-noise model for nr/dm/nrdm, bicubic-ish downscale for
+SR), mirroring the reference's calibration contract (test.py:141-199: the
+real test set flows through the observers). The reference's own datasets
+are absolute paths on its author's machine (self_dataset.py:108,212) and
+do not ship; pass --images DIR with .npy NHWC files to calibrate on real
+data instead. Uniform-noise calibration (round 1) is gone: activation
+ranges from rng.random() are not representative of images.
+
+Deployment-quality switches: safe_zero_floor=True re-anchors any domain
+whose zero would fall below -128 (quant/params.py finalize), and every
+artifact is fast-mode certified (quant/certify.py) over its calibration
+set before shipping; compute="fast" refuses an uncertified artifact.
 
 Run on CPU: python tools/make_qparams.py
 """
@@ -31,16 +41,26 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 
 from sesr_tpu.config import TASKS  # noqa: E402
+from sesr_tpu.data.datasets import SyntheticDataset  # noqa: E402
 from sesr_tpu.io.torch_import import load_reference_checkpoint  # noqa: E402
 from sesr_tpu.quant.calibrate import calibrate  # noqa: E402
+from sesr_tpu.quant.certify import certify_fast  # noqa: E402
+
+
+def calibration_images(task: str, n: int, images_dir=None):
+    """NHWC float32 calibration inputs for `task` (model-input domain)."""
+    if images_dir:
+        return [np.load(f) for f in sorted(glob.glob(f"{images_dir}/*.npy"))]
+    return [inp for inp, _gt in SyntheticDataset(task, n=n, hw=(96, 128))]
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tasks", nargs="*", default=sorted(TASKS))
     ap.add_argument("--images", default=None,
-                    help="dir of .npy NHWC calibration images (else synthetic)")
-    ap.add_argument("--n-synthetic", type=int, default=4)
+                    help="dir of .npy NHWC calibration images "
+                         "(else the synthetic natural-image pipeline)")
+    ap.add_argument("--n-images", type=int, default=8)
     ap.add_argument("--out-dir", default=os.path.join(REPO, "artifacts"))
     args = ap.parse_args()
 
@@ -48,16 +68,15 @@ def main():
     for task in args.tasks:
         spec = TASKS[task]
         params = load_reference_checkpoint(task)
-        if args.images:
-            images = [np.load(f) for f in sorted(glob.glob(f"{args.images}/*.npy"))]
-        else:
-            rng = np.random.default_rng(2024)
-            images = [rng.random((1, 64, 96, spec.in_channels), dtype=np.float32)
-                      for _ in range(args.n_synthetic)]
-        qp = calibrate(spec, params, images)
+        images = calibration_images(task, args.n_images, args.images)
+        qp = calibrate(spec, params, images, safe_zero_floor=True)
+        qp = certify_fast(spec, qp, images)
         out = os.path.join(args.out_dir, f"qparams_{task}.npz")
         qp.save(out)
-        print(f"[make_qparams] {task}: {out} ({os.path.getsize(out)/1e3:.0f} kB)")
+        print(f"[make_qparams] {task}: {out} "
+              f"({os.path.getsize(out)/1e3:.0f} kB, "
+              f"fast_cert={'OK' if qp.fast_cert_ok else 'FAILED'} "
+              f"over {qp.fast_cert_images} images)")
 
 
 if __name__ == "__main__":
