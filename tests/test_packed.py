@@ -1,0 +1,86 @@
+"""Channel-packed deployment datapath (ops/packed.py): the space-to-depth
+rewrite must be bit-identical to the certified fast path it lowers."""
+
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from sesr_tpu.config import spec_for_task
+from sesr_tpu.data.datasets import SyntheticDataset
+from sesr_tpu.ops.conv import conv2d_nhwc
+from sesr_tpu.ops.packed import (depth_to_space_nhwc, pack_weight_hwio,
+                                 packed_conv_same, packed_fast_forward,
+                                 packed_tap_range, space_to_depth_nhwc)
+from sesr_tpu.quant.certify import certify_fast
+from sesr_tpu.quant.integer import integer_forward
+from sesr_tpu.quant.params import QuantParams
+
+ARTIFACTS = os.path.join(os.path.dirname(__file__), os.pardir, "artifacts")
+
+
+def test_space_to_depth_roundtrip(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 12, 5), dtype=np.float32))
+    for s in (2, 4):
+        y = space_to_depth_nhwc(x, s)
+        assert y.shape == (2, 8 // s, 12 // s, s * s * 5)
+        np.testing.assert_array_equal(np.asarray(depth_to_space_nhwc(y, s)),
+                                      np.asarray(x))
+
+
+@pytest.mark.parametrize("k,s", [(3, 2), (5, 2), (3, 4), (5, 4)])
+def test_packed_conv_equals_same_conv(rng, k, s):
+    """Integer-valued float conv: packed rewrite must be array-equal."""
+    ic, oc, h, w = 7, 6, 16, 24
+    x = jnp.asarray(rng.integers(-255, 256, (1, h, w, ic)).astype(np.float32))
+    wk = rng.integers(-128, 128, (k, k, ic, oc)).astype(np.float32)
+    ref = conv2d_nhwc(x, jnp.asarray(wk))
+    q_lo, q_hi = packed_tap_range(k, s)
+    wp = jnp.asarray(pack_weight_hwio(wk, s))
+    got = depth_to_space_nhwc(
+        packed_conv_same(space_to_depth_nhwc(x, s), wp, q_lo, q_hi), s)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("task", ["sr_x2", "sr_x4"])
+def test_packed_fast_bitexact_vs_fast(task):
+    path = os.path.join(ARTIFACTS, f"qparams_{task}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"{path} missing (run tools/make_qparams.py)")
+    spec = spec_for_task(task)
+    qp = QuantParams.load(path)
+    for inp, _ in SyntheticDataset(task, n=2, hw=(64, 96), seed=7):
+        x = jnp.asarray(inp)
+        y_fast, _ = integer_forward(spec, qp, x, corrected=True,
+                                    compute="fast")
+        y_packed = packed_fast_forward(spec, qp, x)
+        np.testing.assert_array_equal(np.asarray(y_packed),
+                                      np.asarray(y_fast))
+
+
+def test_packed_fast_odd_sizes():
+    """H, W not divisible by s: the pad-cell mask must reproduce the
+    original image-border zero padding exactly."""
+    task = "sr_x2"
+    path = os.path.join(ARTIFACTS, f"qparams_{task}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"{path} missing")
+    spec = spec_for_task(task)
+    qp = QuantParams.load(path)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((1, 33, 47, 3), dtype=np.float32))
+    y_fast, _ = integer_forward(spec, qp, x, corrected=True, compute="fast")
+    y_packed = packed_fast_forward(spec, qp, x)
+    np.testing.assert_array_equal(np.asarray(y_packed), np.asarray(y_fast))
+
+
+def test_packed_refuses_uncertified():
+    spec = spec_for_task("sr_x2")
+    from sesr_tpu.io.torch_import import load_reference_checkpoint
+    from sesr_tpu.quant.calibrate import calibrate
+    images = [inp for inp, _ in SyntheticDataset("sr_x2", n=1, hw=(32, 48))]
+    qp = calibrate(spec, load_reference_checkpoint("sr_x2"), images,
+                   safe_zero_floor=True)
+    with pytest.raises(ValueError, match="certified"):
+        packed_fast_forward(spec, qp, jnp.asarray(images[0]))
