@@ -151,10 +151,17 @@ def cmd_train(args):
         print(f"resumed from {args.resume} at step {start}")
     step = jax.jit(make_train_step(spec, cfg, opt))
 
-    data = list(_dataset(args.task, args))
+    if args.data and args.task in ("nr", "dm", "nrdm_3", "nrdm_6"):
+        # raw training tree: 3-tuple loader with the variance channel
+        from sesr_tpu.data.datasets import TrainBayerDataset
+        data = list(TrainBayerDataset(args.data))
+    else:
+        data = list(_dataset(args.task, args))
     t0 = time.time()
     for it in range(start, start + args.steps):
-        inp, gt = data[it % len(data)]
+        # loaders may yield (inp, gt) or (inp, gt, variance); training
+        # discards the variance exactly like the reference (train.py:66)
+        inp, gt = data[it % len(data)][:2]
         params, qstate, opt_state, loss = step(
             params, qstate, opt_state, (jnp.asarray(inp), jnp.asarray(gt)))
         if (it - start) % max(1, args.steps // 10) == 0:

@@ -112,6 +112,63 @@ class RawBayerDataset:
             yield self[i]
 
 
+class TrainBayerDataset:
+    """Training pairs from a DIV2K-RAW-style tree: random even-aligned
+    ``ps`` x ``ps`` crops of `name_W_H.raw` uint16 Bayer planes with the
+    matching 12-bit PNG ground truth, shot/read noise, and the per-pixel
+    noise-variance map (reference self_dataset.py:105-202).
+
+    Items are (inp, gt, variance), all NHWC float32 — the reference's
+    3-tuple contract (its train.py:66 discards the variance with
+    ``inps, gts, _ = data[:]``, but the loader produces it, so this one
+    does too). Reference quirk replicated: the variance is computed from
+    the NOISY input (self_dataset.py:169-171 reassigns `inp` before the
+    `variance =` line), not the clean one.
+    """
+
+    def __init__(self, raw_dir: str, png_dir: Optional[str] = None,
+                 ps: int = 128, seed: int = 0):
+        self.raw_paths = sorted(glob.glob(os.path.join(raw_dir, "*.raw")))
+        if not self.raw_paths:
+            raise FileNotFoundError(f"no .raw files under {raw_dir}")
+        self.png_dir = png_dir
+        self.ps = ps
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.raw_paths)
+
+    def __getitem__(self, i) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        path = self.raw_paths[i]
+        base = os.path.basename(path)
+        ww, hh = int(base.split("_")[1]), int(base.split("_")[-1][:-4])
+        raw = np.fromfile(path, dtype=np.uint16).reshape(ww, hh)
+        png = os.path.join(self.png_dir or os.path.dirname(path),
+                           base.split("_")[0] + ".png")
+        gt = _imread_rgb(png)
+
+        ps = self.ps
+        # even-aligned crop keeps the RGGB phase (self_dataset.py:145-147)
+        bii = int(self.rng.integers(0, max(ww - ps, 1))) // 2 * 2
+        bjj = int(self.rng.integers(0, max(hh - ps, 1))) // 2 * 2
+        patch = raw[bii:bii + ps, bjj:bjj + ps].astype(np.float32)
+        gt = gt[bii:bii + ps, bjj:bjj + ps]
+
+        inp = expand_bayer_plane(patch / (2 ** 12 - 1))
+        shot, read = random_noise_levels(self.rng)
+        inp, _ = add_noise(inp, shot, read, self.rng)
+        variance = shot * inp + read                    # noisy-inp quirk
+        inp = np.clip(inp, 0, 1).transpose(1, 2, 0)
+        variance = variance.transpose(1, 2, 0)
+        return (inp[None].astype(np.float32),
+                np.clip(gt, 0, 1)[None].astype(np.float32),
+                variance[None].astype(np.float32))
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
 class SyntheticDataset:
     """Procedural stand-in when no real data directory is available: smooth
     random images through the task-appropriate degradation (Bayer mosaic +

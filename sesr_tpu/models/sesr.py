@@ -59,15 +59,19 @@ def forward_float(spec: SESRSpec, params: CollapsedParams, x: jnp.ndarray,
                   halo_axis=None) -> jnp.ndarray:
     """FP32 forward of the collapsed network. x: NHWC in [0, 1].
 
-    ``halo_axis``: name of a mesh axis for spatially-sharded execution
-    (inside shard_map). Each conv then exchanges its k//2-column halo with
-    W-neighbours instead of zero padding (ops/halo.py) — bit-identical to
+    ``halo_axis``: a mesh axis name (W sharding) or an (h_axis, w_axis)
+    pair (2D spatial mesh) for spatially-sharded execution (inside
+    shard_map). Each conv then exchanges its k//2 halo with spatial
+    neighbours instead of zero padding (ops/halo.py) — bit-identical to
     the monolithic result.
     """
-    from sesr_tpu.ops.halo import halo_exchange_w
+    from sesr_tpu.ops.halo import halo_exchange_2d, halo_exchange_w
 
     def conv(h, i):
         w, b = params.weights[i], params.biases[i]
+        if isinstance(halo_axis, tuple):
+            h = halo_exchange_2d(h, w.shape[0] // 2, *halo_axis)
+            return conv2d_nhwc(h, w, b, w_valid=True, h_valid=True)
         if halo_axis is not None:
             h = halo_exchange_w(h, w.shape[0] // 2, halo_axis)
             return conv2d_nhwc(h, w, b, w_valid=True)

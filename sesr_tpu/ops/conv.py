@@ -16,26 +16,28 @@ _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 
 
 def conv2d_nhwc(x, w_hwio, bias=None, *, preferred_element_type=None,
-                w_valid: bool = False):
+                w_valid: bool = False, h_valid: bool = False):
     """Stride-1 2D convolution, NHWC x HWIO -> NHWC; SAME-padded.
 
     All reference convs are stride 1 with padding k//2 (models/sesr.py:14-31).
     ``preferred_element_type=jnp.int32`` gives exact int8 x int8 -> int32
     accumulation for the integer paths.
 
-    ``w_valid=True`` uses VALID padding along W only (H stays SAME): the mode
-    used by spatially-sharded execution, where each shard carries a halo of
-    neighbour columns instead of zero padding (parallel/tiling.py). The output
-    is then ``k//2`` narrower on each side.
+    ``w_valid=True`` / ``h_valid=True`` use VALID padding along that axis:
+    the mode used by spatially-sharded execution, where each shard carries a
+    halo of neighbour columns/rows instead of zero padding
+    (parallel/tiling.py). The output is then ``k//2`` narrower on each side
+    of the valid axis.
     """
     k = w_hwio.shape[0]
     pad = k // 2
     w_pad = (0, 0) if w_valid else (pad, pad)
+    h_pad = (0, 0) if h_valid else (pad, pad)
     y = lax.conv_general_dilated(
         x,
         w_hwio,
         window_strides=(1, 1),
-        padding=[(pad, pad), w_pad],
+        padding=[h_pad, w_pad],
         dimension_numbers=_DIMNUMS,
         preferred_element_type=preferred_element_type,
     )

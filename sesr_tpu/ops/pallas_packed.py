@@ -1,0 +1,227 @@
+"""Fused channel-packed whole-network inference as one Pallas TPU kernel.
+
+Combines the two round-1/round-2 levers into the shipped deployment kernel:
+
+- ops/pallas_pipeline.py's whole-net fusion (one kernel invocation per
+  spatial tile runs ALL convs with every intermediate resident in VMEM;
+  HBM traffic is one int8 read of the input tile and one int8 write of the
+  output tile), and
+- ops/packed.py's space-to-depth rewrite (s x s cells packed into channels
+  so the per-conv matmuls contract/produce s^2*C = 64 channels instead of
+  16, quadrupling MXU lane fill — the measured round-1 bottleneck).
+
+Datapath: the CERTIFIED fast mode (quant/integer.py compute="fast" with
+corrected=True) — single conv per layer, 20-bit adder clamp, clipped fused
+bias, f32 requant, corrected integer residual add. The kernel therefore
+refuses uncertified artifacts exactly like the XLA fast path, and is
+asserted array-equal to it in tests/test_packed_pallas.py (interpret mode)
+— which transitively pins it to the PE-exact interpreter and the
+reference's own quan_func.py:298-493 semantics on saturation-free inputs.
+
+Geometry: fixed-extent buffers with circular rolls, as in
+ops/pallas_pipeline.py (Mosaic cannot lower shrinking-extent reshapes or
+lane-concat of offset slices). In packed space every conv is a 3x3, so
+wrap-around garbage penetrates exactly ONE packed ring per layer and the
+halo ring is L cells (vs sum(k//2)=7 original pixels): the packed kernel
+does 9 rolls per conv on 2x-lane-padded buffers where the unpacked kernel
+did up to 25 on 8x-padded ones — the relayout traffic that bounded round 1
+drops ~10x.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sesr_tpu.config import SESRSpec
+from sesr_tpu.ops.conv import pixel_shuffle_nhwc
+from sesr_tpu.ops.packed import (depth_to_space_nhwc, pack_weight_hwio,
+                                 packed_tap_range, space_to_depth_nhwc)
+from sesr_tpu.quant.params import QuantParams
+
+
+def _roll_neg(a, d: int, axis: int):
+    """out[q] = a[q + d] (pltpu.roll: non-negative shifts, 32-bit data)."""
+    n = a.shape[axis]
+    return pltpu.roll(a, (n - d) % n, axis)
+
+
+def _packed_layer_consts(spec: SESRSpec, qp: QuantParams, s: int):
+    """Per-layer kernel inputs: packed weights in per-qy im2col order
+    (T, T*Cp_in, Cp_out) bf16 and the clipped fused bias tiled to packed
+    channels (Cp_out,) f32."""
+    hi = (1 << (qp.hw.bias_bits - 1)) - 1
+    consts = []
+    for i in range(qp.num_convs):
+        wp = pack_weight_hwio(np.asarray(qp.w_int[i], np.float32), s)
+        t, _, cpi, cpo = wp.shape
+        assert t == 3, "packed kernels are 3x3 for k in {3,5} at s=2"
+        w_cat = wp.reshape(t, t * cpi, cpo)
+        fused = np.clip(np.asarray(qp.bias_int[i]), -hi - 1, hi)
+        consts.append((jnp.asarray(w_cat, jnp.bfloat16),
+                       jnp.asarray(np.tile(fused, s * s), jnp.float32)))
+    return consts
+
+
+def _conv_packed(x_shift, w_cat, fused, hw):
+    """One packed 3x3 conv on a fixed (E_h, E_w, Cp_in) buffer: per-qy
+    im2col (lane-concat of the 3 qx rolls) -> one MXU dot per qy, summed;
+    then the 20-bit adder clamp and the clipped fused bias (the fast
+    datapath of quant/integer.py:_integer_conv_pe)."""
+    e_h, e_w, cpi = x_shift.shape
+    cpo = w_cat.shape[-1]
+    add_lo = float(-(1 << (hw.pe_add_bits - 1)))
+    add_hi = float((1 << (hw.pe_add_bits - 1)) - 1)
+    acc = None
+    for qy in range(3):
+        row = _roll_neg(x_shift, qy - 1, 0)
+        patch = jnp.concatenate(
+            [_roll_neg(row, qx - 1, 1).astype(jnp.bfloat16)
+             for qx in range(3)], axis=2)
+        d = jnp.dot(patch.reshape(e_h * e_w, 3 * cpi), w_cat[qy],
+                    preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+    y = jnp.clip(acc.reshape(e_h, e_w, cpo), add_lo, add_hi)
+    return y + fused
+
+
+def build_pallas_packed_forward(spec: SESRSpec, qp: QuantParams,
+                                H: int, W: int, *, s: int = 2,
+                                tile_h: int = 32, tile_w: int = 128,
+                                batch: int = 1, interpret: bool = False):
+    """Compile the fused packed forward for a fixed input size.
+
+    Same contract as integer_forward's output (dequantized float, pixel
+    shuffle applied): f(x: (batch, H, W, C) float) -> float output.
+    H, W must be multiples of s (deployment frame sizes are; odd sizes fall
+    back to ops/packed.py's XLA lowering, which masks partial cells).
+    """
+    if not getattr(qp, "fast_cert_ok", False):
+        raise ValueError(
+            "the fused packed kernel lowers the certified fast datapath "
+            "and requires a certified QuantParams (quant/certify.py)")
+    assert H % s == 0 and W % s == 0, (H, W, s)
+    hw = qp.hw
+    L = spec.num_convs
+    consts = _packed_layer_consts(spec, qp, s)
+    # wrap garbage penetrates 1 packed cell/layer; DMA extents want 8-align
+    g = -(-L // 8) * 8
+    Hs, Ws = H // s, W // s
+    qmin = float(-(1 << (hw.quan_bits - 1)))
+    qmax = float((1 << (hw.quan_bits - 1)) - 1)
+
+    Hp = -(-Hs // tile_h) * tile_h
+    Wp = -(-Ws // tile_w) * tile_w
+    cpi = s * s * spec.in_channels
+    cpo = s * s * spec.conv_out_channels
+
+    def kernel(x_ref, *rest):
+        out_ref = rest[2 * L]
+        # grid = (batch * nth, ntw): batch is folded into the leading grid
+        # dim so the call keeps the 5D-slab / 2D-grid structure the Mosaic
+        # service is known to lower (ops/pallas_pipeline.py)
+        th = pl.program_id(0) % nth
+        tw = pl.program_id(1)
+        row0 = th * tile_h - g
+        col0 = tw * tile_w - g
+        e_h, e_w = tile_h + 2 * g, tile_w + 2 * g
+
+        rows = lax.broadcasted_iota(jnp.int32, (e_h, e_w, 1), 0) + row0
+        cols = lax.broadcasted_iota(jnp.int32, (e_h, e_w, 1), 1) + col0
+        # packed-cell granularity: H, W are multiples of s, so a cell is
+        # fully in-image or fully out
+        inside = ((rows >= 0) & (rows < Hs) & (cols >= 0) & (cols < Ws))
+
+        h_buf = x_ref[0, 0].astype(jnp.float32)
+        shortcut = None
+        for i in range(L):
+            z_eff = float(qp.effective_zero(i))
+            if i == 0:
+                xq_i = h_buf
+            elif i < L - 1:
+                xq_i = jnp.clip(jnp.round(h_buf + jnp.float32(qp.a_zero[i])),
+                                qmin, qmax)
+            else:
+                # corrected integer residual add (quant/integer.py
+                # _quantize_domain_in, corrected=True)
+                t = jnp.round(shortcut) + jnp.round(h_buf)
+                t = (t * jnp.float32(float(qp.res_requant_m))) \
+                    * jnp.float32(2.0 ** (-qp.res_requant_n))
+                xq_i = jnp.clip(jnp.round(t + jnp.float32(qp.a_zero[i])),
+                                qmin, qmax)
+            x_shift = jnp.where(inside, xq_i - jnp.float32(z_eff), 0.0)
+
+            w_ref, b_ref = rest[2 * i], rest[2 * i + 1]
+            y = _conv_packed(x_shift, w_ref[...], b_ref[...], hw)
+            y = (y * jnp.float32(float(qp.requant_m[i]))) \
+                * jnp.float32(2.0 ** (-qp.requant_n[i]))
+
+            if i == 0:
+                shortcut = jax.nn.relu(y)
+                h_buf = shortcut
+            elif i < L - 1:
+                h_buf = jax.nn.relu(y)
+            else:
+                out_q = jnp.clip(jnp.round(y + jnp.float32(qp.a_zero[L])),
+                                 qmin, qmax)
+                out_ref[...] = out_q[g:g + tile_h, g:g + tile_w, :] \
+                    .astype(jnp.int8)
+
+    grid = (Hp // tile_h, Wp // tile_w)
+    nth, ntw = grid
+    hs_, ws_ = tile_h + 2 * g, tile_w + 2 * g
+    flat_consts, const_specs = [], []
+    for (w_cat, fused) in consts:
+        for a in (w_cat, fused):
+            const_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            flat_consts.append(a)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(batch * nth, ntw),
+        # overlapping halo'd slabs are pre-materialized by XLA (overlapping
+        # BlockSpecs are not expressible — see ops/pallas_pipeline.py)
+        in_specs=[pl.BlockSpec((1, 1, hs_, ws_, cpi),
+                               lambda t, tw: (t, tw, 0, 0, 0),
+                               memory_space=pltpu.VMEM)] + const_specs,
+        out_specs=pl.BlockSpec(
+            (tile_h, tile_w, cpo), lambda t, tw: (t, tw, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch * Hp, Wp, cpo), jnp.int8),
+        interpret=interpret,
+    )
+
+    s0, z0 = qp.a_scale[0], qp.a_zero[0]
+    sL, zL = qp.a_scale[L], qp.a_zero[L]
+
+    @jax.jit
+    def forward(x):
+        assert x.shape == (batch, H, W, spec.in_channels), x.shape
+        x = x.astype(jnp.float32)
+        x_q = jnp.clip(jnp.round(x / jnp.float32(s0) + jnp.float32(z0)),
+                       qmin, qmax)
+        x_p = space_to_depth_nhwc(x_q, s)
+        x_p = jnp.pad(x_p, ((0, 0), (g, g + Hp - Hs), (g, g + Wp - Ws),
+                            (0, 0))).astype(jnp.int8)
+        slabs = jnp.stack([
+            jnp.stack([
+                lax.slice(x_p, (0, th * tile_h, tw * tile_w, 0),
+                          (batch, th * tile_h + hs_, tw * tile_w + ws_, cpi))
+                for tw in range(ntw)])
+            for th in range(nth)]).transpose(2, 0, 1, 3, 4, 5) \
+            .reshape(batch * nth, ntw, hs_, ws_, cpi)
+        out = call(slabs, *flat_consts) \
+            .reshape(batch, Hp, Wp, cpo)[:, :Hs, :Ws, :]
+        y = depth_to_space_nhwc(out, s).astype(jnp.float32)
+        y = (y - jnp.float32(zL)) * jnp.float32(sL)
+        if spec.has_pixel_shuffle:
+            y = pixel_shuffle_nhwc(y, spec.scaling_factor)
+        return y
+
+    return forward

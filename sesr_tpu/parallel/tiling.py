@@ -44,6 +44,52 @@ def make_mesh(n_devices: Optional[int] = None, dp: int = 1,
     return Mesh(arr, axis_names=("dp", "sp"))
 
 
+def make_mesh_2d(dp: int = 1, sp_h: int = 2, sp_w: int = 2) -> Mesh:
+    """(dp, sp_h, sp_w) mesh: batch x 2D spatial grid — the pod-scale analog
+    of the reference's 2D tile walk (output.py:42-65)."""
+    devs = jax.devices()
+    need = dp * sp_h * sp_w
+    assert need <= len(devs), f"need {need} devices, have {len(devs)}"
+    arr = np.array(devs[:need]).reshape(dp, sp_h, sp_w)
+    return Mesh(arr, axis_names=("dp", "sph", "spw"))
+
+
+def sharded_integer_forward_2d(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
+                               **fwd_kwargs):
+    """Bit-exact integer forward sharded (dp=batch, sph=H, spw=W) with
+    per-layer 2D halo exchange (ops/halo.py halo_exchange_2d).
+
+    f(x) for global x (N, H, W, C) with N % dp == H % sp_h == W % sp_w == 0.
+    """
+
+    def local_fn(x):
+        y, _ = integer_forward(spec, qp, x, halo_axis=("sph", "spw"),
+                               **fwd_kwargs)
+        return y
+
+    inner = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=P("dp", "sph", "spw", None),
+        out_specs=P("dp", "sph", "spw", None),
+    )
+    return jax.jit(inner)
+
+
+def sharded_float_forward_2d(spec: SESRSpec, params: CollapsedParams,
+                             mesh: Mesh):
+    """FP32 forward sharded (dp, sph, spw) with per-layer 2D halo exchange."""
+
+    def local_fn(x):
+        return forward_float(spec, params, x, halo_axis=("sph", "spw"))
+
+    inner = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=P("dp", "sph", "spw", None),
+        out_specs=P("dp", "sph", "spw", None),
+    )
+    return jax.jit(inner)
+
+
 def sharded_integer_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh):
     """Build a jitted bit-exact integer forward sharded (dp=batch, sp=W).
 

@@ -98,9 +98,11 @@ def _integer_conv_pe(x_shift, i: int, qp: QuantParams, halo_axis=None,
     bias. Returns (pe_out [(PE, N, H, W, OC) clamped], pe_add, y_biased).
 
     With halo_axis set (sharded execution inside shard_map), the SHIFTED
-    tensor exchanges its k//2-column halo — zero there == the zero padding
-    F.conv2d applies upstream (quan_func.py:289-293) — and convs run
-    valid-W.
+    tensor exchanges its k//2 halo — zero there == the zero padding
+    F.conv2d applies upstream (quan_func.py:289-293) — and convs run in
+    valid mode along the exchanged axes. halo_axis is either a single mesh
+    axis name (W sharding) or an (h_axis, w_axis) pair (2D spatial mesh;
+    ops/halo.py halo_exchange_2d).
 
     compute="bf16" (default) runs each per-PE partial conv on the MXU as a
     channel-sliced bfloat16 x bfloat16 -> float32 convolution. This is
@@ -126,14 +128,17 @@ def _integer_conv_pe(x_shift, i: int, qp: QuantParams, halo_axis=None,
     but representable form conv(x_q - z) + bias_int directly: no
     restoration, no correction in the bias, every term in range. Default is
     the bit-exact reference behaviour (required for RTL vector parity)."""
-    from sesr_tpu.ops.halo import halo_exchange_w
+    from sesr_tpu.ops.halo import halo_exchange_2d, halo_exchange_w
 
     hw = qp.hw
     w_int = qp.w_int[i]
     zero_eff = qp.effective_zero(i)
     x_i32 = x_shift.astype(jnp.int32)
     w_valid = halo_axis is not None
-    if w_valid:
+    h_valid = isinstance(halo_axis, tuple)
+    if h_valid:
+        x_i32 = halo_exchange_2d(x_i32, w_int.shape[0] // 2, *halo_axis)
+    elif w_valid:
         x_i32 = halo_exchange_w(x_i32, w_int.shape[0] // 2, halo_axis)
 
     if compute == "fast":
@@ -146,7 +151,7 @@ def _integer_conv_pe(x_shift, i: int, qp: QuantParams, halo_axis=None,
                         jnp.asarray(np.asarray(w_int, np.float32),
                                     jnp.bfloat16),
                         preferred_element_type=jnp.float32,
-                        w_valid=w_valid).astype(jnp.int32)
+                        w_valid=w_valid, h_valid=h_valid).astype(jnp.int32)
         pe_add = saturate(y, hw.pe_add_bits)
         hi16 = (1 << (hw.bias_bits - 1)) - 1
         fused = jnp.asarray(np.clip(qp.bias_int[i], -hi16 - 1, hi16), jnp.int32)
@@ -163,12 +168,13 @@ def _integer_conv_pe(x_shift, i: int, qp: QuantParams, halo_axis=None,
                               jnp.asarray(w_p_sl.astype(np.float32),
                                           jnp.bfloat16),
                               preferred_element_type=jnp.float32,
-                              w_valid=w_valid).astype(jnp.int32)
+                              w_valid=w_valid, h_valid=h_valid).astype(jnp.int32)
             w_sum_p = w_p_sl.sum(axis=(0, 1, 2))
         else:
             w_p = _pe_weight_masks(w_int, hw.pe)[p]
             y_p = conv2d_nhwc(x_i32, jnp.asarray(w_p, jnp.int32),
-                              preferred_element_type=jnp.int32, w_valid=w_valid)
+                              preferred_element_type=jnp.int32,
+                              w_valid=w_valid, h_valid=h_valid)
             w_sum_p = w_p.sum(axis=(0, 1, 2))                # (OC,)
         if not corrected:
             y_p = y_p + jnp.asarray(w_sum_p * zero_eff, jnp.int32)

@@ -43,8 +43,9 @@ def test_packed_conv_equals_same_conv(rng, k, s):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
-@pytest.mark.parametrize("task", ["sr_x2", "sr_x4"])
-def test_packed_fast_bitexact_vs_fast(task):
+@pytest.mark.parametrize("task,s", [("sr_x2", 2), ("sr_x4", 2),
+                                    ("sr_x2", 4)])
+def test_packed_fast_bitexact_vs_fast(task, s):
     path = os.path.join(ARTIFACTS, f"qparams_{task}.npz")
     if not os.path.exists(path):
         pytest.skip(f"{path} missing (run tools/make_qparams.py)")
@@ -54,7 +55,7 @@ def test_packed_fast_bitexact_vs_fast(task):
         x = jnp.asarray(inp)
         y_fast, _ = integer_forward(spec, qp, x, corrected=True,
                                     compute="fast")
-        y_packed = packed_fast_forward(spec, qp, x)
+        y_packed = packed_fast_forward(spec, qp, x, s=s)
         np.testing.assert_array_equal(np.asarray(y_packed),
                                       np.asarray(y_fast))
 

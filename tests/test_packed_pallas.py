@@ -1,0 +1,57 @@
+"""Fused channel-packed Pallas kernel (ops/pallas_packed.py): interpret-mode
+bit-exactness against the certified fast path (which tests/test_certify.py
+pins to the PE-exact interpreter and the reference goldens)."""
+
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from sesr_tpu.config import spec_for_task
+from sesr_tpu.ops.pallas_packed import build_pallas_packed_forward
+from sesr_tpu.quant.integer import integer_forward
+from sesr_tpu.quant.params import QuantParams
+
+ARTIFACTS = os.path.join(os.path.dirname(__file__), os.pardir, "artifacts")
+
+
+def _qp(task):
+    path = os.path.join(ARTIFACTS, f"qparams_{task}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"{path} missing (run tools/make_qparams.py)")
+    return QuantParams.load(path)
+
+
+@pytest.mark.parametrize("task", ["sr_x2", "sr_x4"])
+def test_packed_pallas_bitexact(task):
+    spec = spec_for_task(task)
+    qp = _qp(task)
+    rng = np.random.default_rng(11)
+    H, W = 40, 72                       # 2 x 3 tiles with tile 16x24
+    x = jnp.asarray(rng.random((1, H, W, spec.in_channels),
+                               dtype=np.float32))
+    fwd = build_pallas_packed_forward(spec, qp, H, W, tile_h=16, tile_w=24,
+                                      interpret=True)
+    y_ref, _ = integer_forward(spec, qp, x, corrected=True, compute="fast")
+    np.testing.assert_array_equal(np.asarray(fwd(x)), np.asarray(y_ref))
+
+
+def test_packed_pallas_batched():
+    spec = spec_for_task("sr_x2")
+    qp = _qp("sr_x2")
+    rng = np.random.default_rng(5)
+    H, W = 32, 48
+    x = jnp.asarray(rng.random((3, H, W, 3), dtype=np.float32))
+    fwd = build_pallas_packed_forward(spec, qp, H, W, tile_h=16, tile_w=24,
+                                      batch=3, interpret=True)
+    y_ref, _ = integer_forward(spec, qp, x, corrected=True, compute="fast")
+    np.testing.assert_array_equal(np.asarray(fwd(x)), np.asarray(y_ref))
+
+
+def test_packed_pallas_refuses_uncertified():
+    import dataclasses
+    spec = spec_for_task("sr_x2")
+    qp = dataclasses.replace(_qp("sr_x2"), fast_cert_ok=False)
+    with pytest.raises(ValueError, match="certified"):
+        build_pallas_packed_forward(spec, qp, 32, 48)
