@@ -180,6 +180,17 @@ def cmd_train(args):
         print(f"collapsed checkpoint -> {args.out}")
 
 
+def cmd_hist(args):
+    from sesr_tpu.config import spec_for_task
+    from sesr_tpu.quant.observers import dump_histograms
+
+    spec = spec_for_task(args.task)
+    params = _load_params(args.task, args)
+    data = list(_dataset(args.task, args))
+    files = dump_histograms(spec, params, [inp for inp, _ in data], args.out)
+    print(f"wrote {len(files)} histogram PNGs under {args.out}")
+
+
 def cmd_bench(args):
     import subprocess
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -237,6 +248,12 @@ def main(argv=None):
                    help="training-state file to checkpoint to / resume from")
     p.add_argument("--save-every", type=int, default=50)
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("hist", help="weight/activation histogram PNGs "
+                                    "(define.py:34-36 debug dumps)")
+    common(p)
+    p.add_argument("--out", default="output_png")
+    p.set_defaults(fn=cmd_hist)
 
     p = sub.add_parser("bench", help="single-chip throughput benchmark")
     p.set_defaults(fn=cmd_bench)

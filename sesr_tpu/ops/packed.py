@@ -3,29 +3,31 @@
 The SESR nets carry C=16 feature maps, so every conv's matmul has a
 16-wide contraction/output dimension — filling 16 of the MXU's 128 lanes
 (~12% ceiling before any other loss; measured round 1: the whole deployment
-path ran at ~1% of the chip's MACs). Packing s x s spatial cells into
-channels rewrites the SAME network on a coarser grid with s^2 x the
-channels: for s=2 the interior convs become 64 -> 64 channel convs and the
-MXU lane fill quadruples, at the cost of a sparse-in-dense weight inflation
-(the packed kernel's zeros) of k'^2*s^2/k^2 = 1.44x for the k=5 convs and
-4x for the k=3 convs — a trade the MXU wins by a large margin.
+path ran at ~1% of the chip's MACs). Packing s_h x s_w spatial cells into
+channels rewrites the SAME network on a coarser grid with s_h*s_w x the
+channels: the interior convs become 64..256-channel convs and the MXU lane
+fill multiplies, at the cost of a sparse-in-dense weight inflation (the
+packed kernel's zeros) of T^2 * s_h*s_w / k^2 — e.g. 4x for the k=3 convs
+at 2x2 and 16x at 4x4 — a trade the MXU wins by a large margin (measured
+on a v5e: 79 Mpx/s unpacked -> 250 Mpx/s at 2x2 -> 414 Mpx/s at 4x4 for
+SESR-x2 540x960).
 
-The rewrite is exact, not approximate. With x_p[Y, X, (dy*s+dx)*C + c] =
-x[s*Y+dy, s*X+dx, c], a stride-1 k x k SAME conv y = K * x becomes a
-stride-1 T x T conv in packed space:
+The rewrite is exact, not approximate. With
+x_p[Y, X, (dy*s_w+dx)*C + c] = x[s_h*Y+dy, s_w*X+dx, c], a stride-1 k x k
+SAME conv y = K * x becomes a stride-1 T_y x T_x conv in packed space:
 
-    y_p[Y, X, (ey*s+ex)*OC + o]
-      = sum_{qy,qx,dy,dx,c} Kp[qy, qx, (dy*s+dx)*IC + c, (ey*s+ex)*OC + o]
-                            * x_p[Y+qy, X+qx, (dy*s+dx)*IC + c]
-    Kp[qy, qx, ...] = K[s*qy + dy - ey + r, s*qx + dx - ex + r, c, o]
+    y_p[Y, X, (ey*s_w+ex)*OC + o]
+      = sum_{qy,qx,dy,dx,c} Kp[qy, qx, (dy*s_w+dx)*IC + c, (ey*s_w+ex)*OC + o]
+                            * x_p[Y+qy, X+qx, (dy*s_w+dx)*IC + c]
+    Kp[qy, qx, ...] = K[s_h*qy + dy - ey + r, s_w*qx + dx - ex + r, c, o]
                       (zero where the index falls outside [0, k))
 
 with r = k//2 and qy, qx ranging over the few cell offsets the receptive
-field touches (T=3 for k in {3,5} at s=2). Zero padding of the packed
-tensor equals the original SAME zero padding because a padded cell is all
-padded pixels (H, W padded up to multiples of s; the pad rows are masked to
-the shifted-domain zero each layer, exactly like the out-of-image mask of
-ops/pallas_pipeline.py).
+field touches (3 per axis for k in {3,5} at s in {2,4}). Zero padding of
+the packed tensor equals the original SAME zero padding because a padded
+cell is all padded pixels (H, W padded up to multiples of s; the pad cells
+are masked to the shifted-domain zero each layer, exactly like the
+out-of-image mask of ops/pallas_pipeline.py).
 
 Every arithmetic value is the same exact integer-in-float32 as the
 unpacked fast path (quant/integer.py compute="fast"): the packed conv's
@@ -40,6 +42,7 @@ its certified saturation-free regime (see quant/certify.py) at MXU rate.
 from __future__ import annotations
 
 import functools
+from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -50,110 +53,132 @@ from sesr_tpu.ops.conv import pixel_shuffle_nhwc
 from sesr_tpu.ops.fixedpoint import apply_requant_f32, saturate
 from sesr_tpu.quant.params import QuantParams
 
+SLike = Union[int, Tuple[int, int]]
 
-def space_to_depth_nhwc(x, s: int):
-    """(N, H, W, C) -> (N, H/s, W/s, s*s*C), channel order (dy, dx, c)."""
+
+def _s2(s: SLike) -> Tuple[int, int]:
+    return (s, s) if isinstance(s, int) else (int(s[0]), int(s[1]))
+
+
+def space_to_depth_nhwc(x, s: SLike):
+    """(N, H, W, C) -> (N, H/s_h, W/s_w, s_h*s_w*C), channels (dy, dx, c)."""
+    sh, sw = _s2(s)
     n, h, w, c = x.shape
-    assert h % s == 0 and w % s == 0, (h, w, s)
-    x = x.reshape(n, h // s, s, w // s, s, c)
+    assert h % sh == 0 and w % sw == 0, (h, w, s)
+    x = x.reshape(n, h // sh, sh, w // sw, sw, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(n, h // s, w // s, s * s * c)
+    return x.reshape(n, h // sh, w // sw, sh * sw * c)
 
 
-def depth_to_space_nhwc(x, s: int):
+def depth_to_space_nhwc(x, s: SLike):
     """Inverse of space_to_depth_nhwc (cell-major channel order — NOT the
     torch PixelShuffle c-major order of ops/conv.py:pixel_shuffle_nhwc)."""
+    sh, sw = _s2(s)
     n, hs, ws, csq = x.shape
-    c = csq // (s * s)
-    x = x.reshape(n, hs, ws, s, s, c)
+    c = csq // (sh * sw)
+    x = x.reshape(n, hs, ws, sh, sw, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(n, hs * s, ws * s, c)
+    return x.reshape(n, hs * sh, ws * sw, c)
 
 
 def packed_tap_range(k: int, s: int):
-    """Cell-offset tap range [q_lo, q_hi] of the packed conv along one axis."""
+    """Cell-offset tap range [q_lo, q_hi] of the packed conv along one axis
+    with cell size ``s`` (scalar)."""
     r = k // 2
     q_lo = -((r + s - 1) // s)
     q_hi = (s - 1 + k - 1 - r) // s
     return q_lo, q_hi
 
 
-def pack_weight_hwio(w: np.ndarray, s: int) -> np.ndarray:
-    """Dense packed kernel (T, T, s*s*IC, s*s*OC) for a k x k HWIO kernel.
-
-    Host-side numpy; the 144 (T^2 * s^4) block assignments are trivially
-    cheap next to any compile.
-    """
+def pack_weight_hwio(w: np.ndarray, s: SLike) -> np.ndarray:
+    """Dense packed kernel (T_y, T_x, s_h*s_w*IC, s_h*s_w*OC) for a k x k
+    HWIO kernel. Host-side numpy; the few hundred (T^2 * (s_h*s_w)^2) block
+    assignments are trivially cheap next to any compile."""
+    sh, sw = _s2(s)
     k, k2, ic, oc = w.shape
     assert k == k2, "square kernels only"
     r = k // 2
-    q_lo, q_hi = packed_tap_range(k, s)
-    t = q_hi - q_lo + 1
-    wp = np.zeros((t, t, s * s * ic, s * s * oc), dtype=w.dtype)
-    for qy in range(q_lo, q_hi + 1):
-        for qx in range(q_lo, q_hi + 1):
-            for ey in range(s):
-                for ex in range(s):
-                    for dy in range(s):
-                        for dx in range(s):
-                            u = s * qy + dy - ey + r
-                            v = s * qx + dx - ex + r
+    qy_lo, qy_hi = packed_tap_range(k, sh)
+    qx_lo, qx_hi = packed_tap_range(k, sw)
+    ty, tx = qy_hi - qy_lo + 1, qx_hi - qx_lo + 1
+    wp = np.zeros((ty, tx, sh * sw * ic, sh * sw * oc), dtype=w.dtype)
+    for qy in range(qy_lo, qy_hi + 1):
+        for qx in range(qx_lo, qx_hi + 1):
+            for ey in range(sh):
+                for ex in range(sw):
+                    for dy in range(sh):
+                        for dx in range(sw):
+                            u = sh * qy + dy - ey + r
+                            v = sw * qx + dx - ex + r
                             if 0 <= u < k and 0 <= v < k:
-                                ci = (dy * s + dx) * ic
-                                co = (ey * s + ex) * oc
-                                wp[qy - q_lo, qx - q_lo,
+                                ci = (dy * sw + dx) * ic
+                                co = (ey * sw + ex) * oc
+                                wp[qy - qy_lo, qx - qx_lo,
                                    ci:ci + ic, co:co + oc] = w[u, v]
     return wp
 
 
-def packed_conv_same(x_p, wp, q_lo: int, q_hi: int,
+def packed_conv_same(x_p, wp, q_lo_hw, q_hi_hw,
                      preferred_element_type=jnp.float32):
     """Stride-1 packed conv with the (possibly asymmetric) zero padding that
-    reproduces the original SAME conv."""
+    reproduces the original SAME conv. q_lo_hw/q_hi_hw: per-axis (H, W) tap
+    bounds (ints accepted for the symmetric-cell case)."""
+    ql = _s2(q_lo_hw)
+    qh = _s2(q_hi_hw)
     return jax.lax.conv_general_dilated(
         x_p, wp, window_strides=(1, 1),
-        padding=[(-q_lo, q_hi), (-q_lo, q_hi)],
+        padding=[(-ql[0], qh[0]), (-ql[1], qh[1])],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=preferred_element_type)
 
 
-def _pad_mask(spec: SESRSpec, H: int, W: int, s: int):
-    """(Hs, Ws, s*s) float32 mask, 1 where the original pixel is in-image.
-    None when H, W are multiples of s (mask would be all-ones)."""
-    if H % s == 0 and W % s == 0:
+def _pad_mask(spec: SESRSpec, H: int, W: int, s: SLike):
+    """(Hs, Ws, s_h*s_w) float32 mask, 1 where the original pixel is
+    in-image. None when H, W are multiples of the cell (all-ones)."""
+    sh, sw = _s2(s)
+    if H % sh == 0 and W % sw == 0:
         return None
-    hp, wp = -(-H // s) * s, -(-W // s) * s
-    rows = np.arange(hp).reshape(hp // s, s)
-    cols = np.arange(wp).reshape(wp // s, s)
+    hp, wp = -(-H // sh) * sh, -(-W // sw) * sw
+    rows = np.arange(hp).reshape(hp // sh, sh)
+    cols = np.arange(wp).reshape(wp // sw, sw)
     valid = (rows[:, None, :, None] < H) & (cols[None, :, None, :] < W)
-    return jnp.asarray(valid.reshape(hp // s, wp // s, s * s)
+    return jnp.asarray(valid.reshape(hp // sh, wp // sw, sh * sw)
                        .astype(np.float32))
 
 
+def packed_layer_taps(spec: SESRSpec, i: int, s: SLike):
+    """Per-axis (q_lo, q_hi) of conv i's packed kernel."""
+    sh, sw = _s2(s)
+    k = spec.kernel_sizes[i]
+    return packed_tap_range(k, sh), packed_tap_range(k, sw)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))
-def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: int):
+def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: SLike):
     qp = qp_static
     hw = qp.hw
     L = spec.num_convs
+    sh, sw = _s2(s)
     bits = hw.quan_bits
     qmin, qmax = float(-(1 << (bits - 1))), float((1 << (bits - 1)) - 1)
     bias_hi = (1 << (hw.bias_bits - 1)) - 1
 
     n, H, W, c_in = x.shape
-    hp, wpad = -(-H // s) * s, -(-W // s) * s
-    mask = _pad_mask(spec, H, W, s)
+    hp, wpad = -(-H // sh) * sh, -(-W // sw) * sw
+    mask = _pad_mask(spec, H, W, (sh, sw))
 
     # domain 0 quantization at original resolution, then pack once
     x_q = jnp.clip(jnp.round(x / jnp.float32(qp.a_scale[0])
                              + jnp.float32(qp.a_zero[0])), qmin, qmax)
     x_q = jnp.pad(x_q, ((0, 0), (0, hp - H), (0, wpad - W), (0, 0)))
-    h = space_to_depth_nhwc(x_q, s)
+    h = space_to_depth_nhwc(x_q, (sh, sw))
 
     packed_w = []
     for i in range(L):
-        wp = pack_weight_hwio(np.asarray(qp.w_int[i], np.float32), s)
-        q_lo, q_hi = packed_tap_range(spec.kernel_sizes[i], s)
-        packed_w.append((jnp.asarray(wp, jnp.bfloat16), q_lo, q_hi))
+        wp = pack_weight_hwio(np.asarray(qp.w_int[i], np.float32), (sh, sw))
+        (qy_lo, qy_hi), (qx_lo, qx_hi) = packed_layer_taps(spec, i, (sh, sw))
+        packed_w.append((jnp.asarray(wp, jnp.bfloat16),
+                         (qy_lo, qx_lo), (qy_hi, qx_hi)))
 
     shortcut = None
     for i in range(L):
@@ -172,7 +197,7 @@ def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: int):
                             qmin, qmax)
         x_shift = x_qi - jnp.float32(z_eff)
         if mask is not None:
-            cpl = x_shift.shape[-1] // (s * s)
+            cpl = x_shift.shape[-1] // (sh * sw)
             x_shift = x_shift * jnp.repeat(mask, cpl, axis=-1)[None]
 
         wp, q_lo, q_hi = packed_w[i]
@@ -180,7 +205,7 @@ def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: int):
                              q_lo, q_hi).astype(jnp.int32)
         y = saturate(y, hw.pe_add_bits)
         fused = np.clip(np.asarray(qp.bias_int[i]), -bias_hi - 1, bias_hi)
-        fused_p = jnp.asarray(np.tile(fused, s * s), jnp.int32)
+        fused_p = jnp.asarray(np.tile(fused, sh * sw), jnp.int32)
         y = y + fused_p
         h = apply_requant_f32(y, qp.requant_m[i], qp.requant_n[i])
         if i == 0:
@@ -191,20 +216,24 @@ def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: int):
 
     zero_L, scale_L = qp.a_zero[L], qp.a_scale[L]
     out_q = jnp.clip(jnp.round(h + jnp.float32(zero_L)), qmin, qmax)
-    out = depth_to_space_nhwc(out_q, s)[:, :H, :W, :]
+    out = depth_to_space_nhwc(out_q, (sh, sw))[:, :H, :W, :]
     y = (out - jnp.float32(zero_L)) * jnp.float32(scale_L)
     if spec.has_pixel_shuffle:
         y = pixel_shuffle_nhwc(y, spec.scaling_factor)
     return y
 
 
-def packed_fast_forward(spec: SESRSpec, qp: QuantParams, x, s: int = 2):
+def packed_fast_forward(spec: SESRSpec, qp: QuantParams, x, s: SLike = 4):
     """Channel-packed deployment forward (XLA). x: NHWC float in [0, 1].
 
     Bit-identical to integer_forward(..., corrected=True, compute="fast")
     — the certified saturation-free deployment datapath — with every conv
-    running on an s^2-wider channel axis. Requires a certified artifact for
-    the same reason the fast path does (quant/certify.py).
+    running on an (s_h*s_w)-wider channel axis. Requires a certified
+    artifact for the same reason the fast path does (quant/certify.py).
+
+    ``s``: cell size, an int (square) or (s_h, s_w). Default 4 (4x4 cells,
+    256-channel interior convs) — the fastest measured configuration on a
+    TPU v5e for 540x960 frames.
     """
     from sesr_tpu.quant.integer import _hashable
 
@@ -213,4 +242,4 @@ def packed_fast_forward(spec: SESRSpec, qp: QuantParams, x, s: int = 2):
             "packed_fast_forward requires a certified QuantParams "
             "(quant/certify.py): it lowers the certified fast datapath.")
     x = jnp.asarray(x, jnp.float32)
-    return _packed_fast_impl(spec, x, _hashable(qp), s)
+    return _packed_fast_impl(spec, x, _hashable(qp), _s2(s))

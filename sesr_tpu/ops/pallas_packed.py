@@ -69,32 +69,44 @@ def _packed_layer_consts(spec: SESRSpec, qp: QuantParams, s: int):
     return consts
 
 
-def _conv_packed(x_shift, w_cat, fused, hw):
-    """One packed 3x3 conv on a fixed (E_h, E_w, Cp_in) buffer: per-qy
-    im2col (lane-concat of the 3 qx rolls) -> one MXU dot per qy, summed;
-    then the 20-bit adder clamp and the clipped fused bias (the fast
-    datapath of quant/integer.py:_integer_conv_pe)."""
-    e_h, e_w, cpi = x_shift.shape
+def _conv_packed(x2d, e_w: int, w_cat, fused, hw):
+    """One packed 3x3 conv on the FLATTENED fixed-extent buffer
+    (M = E_h*E_w, Cp_in): tap (qy, qx) is a single circular roll of the
+    flattened sublane axis by qy*E_w + qx (the zero tap rolls nothing), the
+    3 qx taps of one qy lane-concat into a (M, 3*Cp_in) patch, one MXU dot
+    per qy, summed; then the 20-bit adder clamp and the clipped fused bias
+    (the fast datapath of quant/integer.py:_integer_conv_pe).
+
+    Flattened-roll wrap semantics: a tap's wrap garbage lands within one
+    cell of the buffer's row seams — inside the halo ring, exactly like the
+    2D circular rolls it replaces (the ring absorbs 1 cell/layer either
+    way), and every in-image position reads identical values.
+    """
+    m, cpi = x2d.shape
     cpo = w_cat.shape[-1]
     add_lo = float(-(1 << (hw.pe_add_bits - 1)))
     add_hi = float((1 << (hw.pe_add_bits - 1)) - 1)
+
+    def tap(d):
+        t = x2d if d == 0 else _roll_neg(x2d, d, 0)
+        return t.astype(jnp.bfloat16)
+
     acc = None
     for qy in range(3):
-        row = _roll_neg(x_shift, qy - 1, 0)
-        patch = jnp.concatenate(
-            [_roll_neg(row, qx - 1, 1).astype(jnp.bfloat16)
-             for qx in range(3)], axis=2)
-        d = jnp.dot(patch.reshape(e_h * e_w, 3 * cpi), w_cat[qy],
-                    preferred_element_type=jnp.float32)
+        base = (qy - 1) * e_w
+        patch = jnp.concatenate([tap(base + qx - 1) for qx in range(3)],
+                                axis=1)
+        d = jnp.dot(patch, w_cat[qy], preferred_element_type=jnp.float32)
         acc = d if acc is None else acc + d
-    y = jnp.clip(acc.reshape(e_h, e_w, cpo), add_lo, add_hi)
+    y = jnp.clip(acc, add_lo, add_hi)
     return y + fused
 
 
 def build_pallas_packed_forward(spec: SESRSpec, qp: QuantParams,
                                 H: int, W: int, *, s: int = 2,
                                 tile_h: int = 32, tile_w: int = 128,
-                                batch: int = 1, interpret: bool = False):
+                                batch: int = 1, g=None,
+                                interpret: bool = False):
     """Compile the fused packed forward for a fixed input size.
 
     Same contract as integer_forward's output (dequantized float, pixel
@@ -110,8 +122,14 @@ def build_pallas_packed_forward(spec: SESRSpec, qp: QuantParams,
     hw = qp.hw
     L = spec.num_convs
     consts = _packed_layer_consts(spec, qp, s)
-    # wrap garbage penetrates 1 packed cell/layer; DMA extents want 8-align
-    g = -(-L // 8) * 8
+    # wrap garbage penetrates 1 packed cell/layer, so the ring must be >= L;
+    # tile+2g extents must stay 8-aligned for the DMA slabs and the in-kernel
+    # sublane-merging reshape (callers pick tile_h/tile_w accordingly)
+    if g is None:
+        g = -(-L // 8) * 8
+    assert g >= L, (g, L)
+    assert (tile_h + 2 * g) % 8 == 0 and (tile_w + 2 * g) % 8 == 0, \
+        (tile_h, tile_w, g)
     Hs, Ws = H // s, W // s
     qmin = float(-(1 << (hw.quan_bits - 1)))
     qmax = float((1 << (hw.quan_bits - 1)) - 1)
@@ -135,10 +153,11 @@ def build_pallas_packed_forward(spec: SESRSpec, qp: QuantParams,
         rows = lax.broadcasted_iota(jnp.int32, (e_h, e_w, 1), 0) + row0
         cols = lax.broadcasted_iota(jnp.int32, (e_h, e_w, 1), 1) + col0
         # packed-cell granularity: H, W are multiples of s, so a cell is
-        # fully in-image or fully out
-        inside = ((rows >= 0) & (rows < Hs) & (cols >= 0) & (cols < Ws))
+        # fully in-image or fully out; flattened to the (M, C) roll layout
+        inside = ((rows >= 0) & (rows < Hs) & (cols >= 0)
+                  & (cols < Ws)).reshape(e_h * e_w, 1)
 
-        h_buf = x_ref[0, 0].astype(jnp.float32)
+        h_buf = x_ref[0, 0].astype(jnp.float32).reshape(e_h * e_w, cpi)
         shortcut = None
         for i in range(L):
             z_eff = float(qp.effective_zero(i))
@@ -158,7 +177,7 @@ def build_pallas_packed_forward(spec: SESRSpec, qp: QuantParams,
             x_shift = jnp.where(inside, xq_i - jnp.float32(z_eff), 0.0)
 
             w_ref, b_ref = rest[2 * i], rest[2 * i + 1]
-            y = _conv_packed(x_shift, w_ref[...], b_ref[...], hw)
+            y = _conv_packed(x_shift, e_w, w_ref[...], b_ref[...], hw)
             y = (y * jnp.float32(float(qp.requant_m[i]))) \
                 * jnp.float32(2.0 ** (-qp.requant_n[i]))
 
@@ -169,7 +188,7 @@ def build_pallas_packed_forward(spec: SESRSpec, qp: QuantParams,
                 h_buf = jax.nn.relu(y)
             else:
                 out_q = jnp.clip(jnp.round(y + jnp.float32(qp.a_zero[L])),
-                                 qmin, qmax)
+                                 qmin, qmax).reshape(e_h, e_w, cpo)
                 out_ref[...] = out_q[g:g + tile_h, g:g + tile_w, :] \
                     .astype(jnp.int8)
 

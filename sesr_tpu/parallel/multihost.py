@@ -1,0 +1,118 @@
+"""Multi-host frame/tile batching: DCN for data distribution, ICI for halos.
+
+The scaling recipe (SURVEY §7 step 6, BASELINE "~linear at 1 chip -> 1 host
+-> N hosts"): the mesh's outermost axis enumerates HOSTS in process-major
+device order — JAX's `jax.devices()` is already process-major, so axis
+"host" boundaries coincide with DCN boundaries. Work is laid out so that
+
+- the "host" and "dp" axes carry only DATA PLACEMENT (each host feeds its
+  own frames; no collective ever crosses them during inference), and
+- the per-layer conv halo exchanges (ops/halo.py) run only over the
+  innermost "sp" axis — chips within one host, i.e. pure ICI ppermutes.
+
+That is the whole DCN story for this workload: inference needs zero
+cross-host communication (weights are replicated once — a few KB of int8
+per SESRSpec), so host scaling is embarrassingly parallel frame batching,
+and the only latency-critical collectives ride ICI. Training reuses the
+same mesh with gradient psum over ("host", "dp") — the standard
+DCN-data-parallel / ICI-spatial split.
+
+The reference has no distributed execution at all (SURVEY §2: torch
+.distributed imported and never used, quantize_utils_cuda.py:6); its only
+tiling notion is the single-device export walk (output.py:42-65).
+
+Single-process validation: the host axis is logical — collectives and
+shardings behave identically whether its boundaries are real DCN links or
+a virtual grouping, so the 8-device CPU mesh tests (tests/test_sharding.py)
+pin the exact communication pattern that runs on a real pod.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from sesr_tpu.config import SESRSpec
+from sesr_tpu.quant.integer import integer_forward
+from sesr_tpu.quant.params import QuantParams
+
+
+def make_mesh_multihost(n_hosts: Optional[int] = None, dp: int = 1,
+                        sp: Optional[int] = None) -> Mesh:
+    """("host", "dp", "sp") mesh, host axis outermost (process-major).
+
+    On a real multi-host platform n_hosts defaults to jax.process_count()
+    and each host contributes its local devices; on a single process it
+    defaults to 1 (pass an explicit n_hosts to validate the pattern on a
+    virtual mesh).
+    """
+    devs = jax.devices()
+    if n_hosts is None:
+        n_hosts = jax.process_count()
+    per_host = len(devs) // n_hosts
+    if sp is None:
+        sp = per_host // dp
+    assert dp * sp <= per_host, (
+        f"dp*sp={dp*sp} must fit within one host's {per_host} devices so "
+        "halo exchanges never cross DCN")
+    need = n_hosts * dp * sp
+    assert need <= len(devs), f"need {need} devices, have {len(devs)}"
+    arr = np.array(devs[:need]).reshape(n_hosts, dp, sp)
+    return Mesh(arr, axis_names=("host", "dp", "sp"))
+
+
+def multihost_integer_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
+                              **fwd_kwargs):
+    """Bit-exact integer forward with frames batched over (host, dp) and W
+    sharded over sp. Halos ppermute over "sp" ONLY (ICI); the host axis is
+    pure data placement — no cross-DCN collective exists in the program.
+    """
+
+    def local_fn(x):
+        y, _ = integer_forward(spec, qp, x, halo_axis="sp", **fwd_kwargs)
+        return y
+
+    inner = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=P(("host", "dp"), None, "sp", None),
+        out_specs=P(("host", "dp"), None, "sp", None),
+    )
+    return jax.jit(inner)
+
+
+def frame_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a global (N, H, W, C) frame batch on a multihost mesh."""
+    return NamedSharding(mesh, P(("host", "dp"), None, "sp", None))
+
+
+def stream_frames(spec: SESRSpec, qp: QuantParams, mesh: Mesh, frames,
+                  **fwd_kwargs):
+    """Continuous frame batching: group the frame iterator into global
+    batches of host*dp frames and run them through the multihost forward.
+    Yields output batches. On a real pod each process only materializes its
+    local shard (jax.make_array_from_process_local_data under the hood via
+    device_put to the global sharding); single-process, device_put shards
+    the full array."""
+    fwd = multihost_integer_forward(spec, qp, mesh, **fwd_kwargs)
+    sh = frame_batch_sharding(mesh)
+    n = mesh.shape["host"] * mesh.shape["dp"]
+    buf = []
+    for f in frames:
+        buf.append(np.asarray(f, np.float32))
+        if len(buf) == n:
+            x = jax.device_put(jnp.concatenate(buf, axis=0), sh)
+            yield fwd(x)
+            buf = []
+    if buf:
+        # final partial batch: pad with repeats of the last frame and let
+        # the caller slice (shape must stay static for the compiled fwd)
+        k = len(buf)
+        while len(buf) < n:
+            buf.append(buf[-1])
+        x = jax.device_put(jnp.concatenate(buf, axis=0), sh)
+        yield fwd(x)[:k]

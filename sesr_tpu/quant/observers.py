@@ -99,3 +99,78 @@ def kl_bounds(hist: np.ndarray, lo: float, hi: float,
     t = kl_threshold(np.asarray(hist, np.float64), num_quantized_bins)
     width = (hi - lo) / np.asarray(hist).size
     return lo, float(lo + t * width)
+
+
+def dump_histograms(spec, params, images, out_dir: str,
+                    hw=None, bins: int = 300):
+    """Weight / quantized-weight / per-domain activation histogram PNGs.
+
+    The reference writes these behind the WEIGHT_W_HIST_PNG /
+    INPUT_W_HIST_PNG flags (define.py:34-36): plt.hist(..., bins=300) into
+    output_png/weight/conv.weight.{i}.png, output_png/weight_quan/
+    conv.weightquan.{i}.png, and per-conv input histograms
+    (quan_func.py:50-56, 118-124). Same tree layout here; activation
+    histograms are accumulated ON DEVICE over the whole image set (the
+    (D, BINS_NUM) int32 pipeline of calibrate()) instead of one matplotlib
+    call per layer per image.
+
+    Returns the list of files written.
+    """
+    import os
+
+    import jax.numpy as jnp
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from sesr_tpu.config import DEFAULT_HW
+    from sesr_tpu.quant.calibrate import (_calibration_forward_impl,
+                                          _prep_fq_weights)
+    from sesr_tpu.quant.params import CalibState
+
+    hw = hw or DEFAULT_HW
+    fq_weights, w_int, w_scale = _prep_fq_weights(params, hw)
+    L = spec.num_convs
+    written = []
+
+    def _hist_png(values, subdir, name, n_bins=bins):
+        d = os.path.join(out_dir, subdir)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, name)
+        plt.cla()
+        plt.hist(np.asarray(values).reshape(-1), bins=n_bins)
+        plt.savefig(path)
+        written.append(path)
+
+    for i in range(L):
+        _hist_png(params.weights[i], "weight", f"conv.weight.{i}.png")
+        _hist_png(w_int[i], "weight_quan", f"conv.weightquan.{i}.png")
+
+    # pass 1: per-domain bounds; pass 2: on-device histograms in them
+    calib = CalibState.fresh(L + 1)
+    for img in images:
+        x = jnp.asarray(img, jnp.float32)
+        _, minmax = _calibration_forward_impl(spec, fq_weights, x, hw, True)
+        mm = np.asarray(minmax, np.float64)
+        for d in range(L + 1):
+            calib.update(d, mm[0, d], mm[1, d])
+    bounds = jnp.asarray(
+        np.stack([calib.min_vals, calib.max_vals], axis=1), jnp.float32)
+    total = np.zeros((L + 1, BINS_NUM), np.int64)
+    for img in images:
+        x = jnp.asarray(img, jnp.float32)
+        _, _, hists = _calibration_forward_impl(
+            spec, fq_weights, x, hw, True, bounds, True)
+        total += np.asarray(hists, np.int64)
+
+    for d in range(L + 1):
+        lo, hi = calib.min_vals[d], calib.max_vals[d]
+        centers = lo + (np.arange(BINS_NUM) + 0.5) * (hi - lo) / BINS_NUM
+        dd = os.path.join(out_dir, "input")
+        os.makedirs(dd, exist_ok=True)
+        path = os.path.join(dd, f"conv.input.{d}.png")
+        plt.cla()
+        plt.bar(centers, total[d], width=(hi - lo) / BINS_NUM)
+        plt.savefig(path)
+        written.append(path)
+    return written

@@ -89,3 +89,22 @@ def test_evaluate_pair_runs(task, rng):
     gt = rng.random((16 * r, 16 * r, spec.out_channels))
     p, s = evaluate_pair(task, pred, gt, inp)
     assert np.isfinite(p) and -1 <= s <= 1
+
+
+def test_dump_histograms(tmp_path):
+    """Histogram-PNG observability (reference define.py:34-36 debug dumps):
+    weight, quantized-weight, and per-domain activation histograms."""
+    from sesr_tpu.config import spec_for_task
+    from sesr_tpu.data.datasets import SyntheticDataset
+    from sesr_tpu.io.torch_import import load_reference_checkpoint
+    from sesr_tpu.quant.observers import dump_histograms
+
+    spec = spec_for_task("nrdm_3")
+    params = load_reference_checkpoint("nrdm_3")
+    images = [inp for inp, _ in SyntheticDataset("nrdm_3", n=1, hw=(32, 48))]
+    files = dump_histograms(spec, params, images, str(tmp_path))
+    L = spec.num_convs
+    assert len(files) == 2 * L + (L + 1)
+    import os
+    for f in files:
+        assert os.path.exists(f) and os.path.getsize(f) > 0

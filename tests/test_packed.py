@@ -29,14 +29,17 @@ def test_space_to_depth_roundtrip(rng):
                                       np.asarray(x))
 
 
-@pytest.mark.parametrize("k,s", [(3, 2), (5, 2), (3, 4), (5, 4)])
+@pytest.mark.parametrize("k,s", [(3, 2), (5, 2), (3, 4), (5, 4),
+                                 (3, (2, 4)), (5, (4, 2))])
 def test_packed_conv_equals_same_conv(rng, k, s):
     """Integer-valued float conv: packed rewrite must be array-equal."""
     ic, oc, h, w = 7, 6, 16, 24
     x = jnp.asarray(rng.integers(-255, 256, (1, h, w, ic)).astype(np.float32))
     wk = rng.integers(-128, 128, (k, k, ic, oc)).astype(np.float32)
     ref = conv2d_nhwc(x, jnp.asarray(wk))
-    q_lo, q_hi = packed_tap_range(k, s)
+    sh, sw = (s, s) if isinstance(s, int) else s
+    q_lo = (packed_tap_range(k, sh)[0], packed_tap_range(k, sw)[0])
+    q_hi = (packed_tap_range(k, sh)[1], packed_tap_range(k, sw)[1])
     wp = jnp.asarray(pack_weight_hwio(wk, s))
     got = depth_to_space_nhwc(
         packed_conv_same(space_to_depth_nhwc(x, s), wp, q_lo, q_hi), s)
@@ -44,7 +47,8 @@ def test_packed_conv_equals_same_conv(rng, k, s):
 
 
 @pytest.mark.parametrize("task,s", [("sr_x2", 2), ("sr_x4", 2),
-                                    ("sr_x2", 4)])
+                                    ("sr_x2", 4), ("sr_x4", 4),
+                                    ("sr_x2", (2, 4)), ("sr_x2", (4, 2))])
 def test_packed_fast_bitexact_vs_fast(task, s):
     path = os.path.join(ARTIFACTS, f"qparams_{task}.npz")
     if not os.path.exists(path):

@@ -55,3 +55,18 @@ def test_packed_pallas_refuses_uncertified():
     qp = dataclasses.replace(_qp("sr_x2"), fast_cert_ok=False)
     with pytest.raises(ValueError, match="certified"):
         build_pallas_packed_forward(spec, qp, 32, 48)
+
+
+def test_packed_pallas_small_ring():
+    """g below the 8-aligned default (ring = L exactly at g=5 for 5-conv
+    nets) must stay bit-exact — pins the wrap-garbage penetration bound."""
+    spec = spec_for_task("sr_x2")
+    qp = _qp("sr_x2")
+    rng = np.random.default_rng(21)
+    H, W = 60, 88
+    x = jnp.asarray(rng.random((1, H, W, 3), dtype=np.float32))
+    y_ref, _ = integer_forward(spec, qp, x, corrected=True, compute="fast")
+    for g, th, tw in ((6, 20, 20), (5, 22, 22)):
+        fwd = build_pallas_packed_forward(spec, qp, H, W, tile_h=th,
+                                          tile_w=tw, g=g, interpret=True)
+        np.testing.assert_array_equal(np.asarray(fwd(x)), np.asarray(y_ref))

@@ -196,3 +196,56 @@ def test_sharded_qat_train_step_matches_unsharded():
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+# ---- multi-host frame batching (host axis = DCN boundary) ------------------
+
+def test_multihost_forward_bit_exact():
+    """(host, dp, sp) mesh: frames batch over host x dp (data placement
+    only), halos ride sp. Bit-exact vs monolithic; the host axis is logical
+    here (single process) but the communication pattern is identical on a
+    real pod (parallel/multihost.py docstring)."""
+    from sesr_tpu.parallel.multihost import (make_mesh_multihost,
+                                             multihost_integer_forward)
+
+    task = "nrdm_3"
+    g = _load_golden(task)
+    spec, params, qp = _golden_qparams(task, g)
+    mesh = make_mesh_multihost(n_hosts=2, dp=2, sp=2)
+    assert mesh.shape == {"host": 2, "dp": 2, "sp": 2}
+
+    rng = np.random.default_rng(23)
+    x = rng.random((4, 12, 20, spec.in_channels), dtype=np.float32)
+    y_mono, _ = integer_forward(spec, qp, jnp.asarray(x))
+    y_mh = multihost_integer_forward(spec, qp, mesh)(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(y_mh), np.asarray(y_mono))
+
+
+def test_multihost_stream_frames():
+    """Continuous frame batching groups an arbitrary-length stream into
+    global batches (incl. the padded final partial batch)."""
+    from sesr_tpu.parallel.multihost import make_mesh_multihost, stream_frames
+
+    task = "nrdm_3"
+    g = _load_golden(task)
+    spec, params, qp = _golden_qparams(task, g)
+    mesh = make_mesh_multihost(n_hosts=2, dp=2, sp=2)
+
+    rng = np.random.default_rng(24)
+    frames = [rng.random((1, 12, 20, spec.in_channels), dtype=np.float32)
+              for _ in range(7)]                       # 4 + partial 3
+    outs = list(stream_frames(spec, qp, mesh, frames))
+    assert [o.shape[0] for o in outs] == [4, 3]
+    y_all = np.concatenate([np.asarray(o) for o in outs], axis=0)
+    y_mono, _ = integer_forward(spec, qp,
+                                jnp.asarray(np.concatenate(frames, axis=0)))
+    np.testing.assert_array_equal(y_all, np.asarray(y_mono))
+
+
+def test_multihost_rejects_cross_host_halo():
+    """dp*sp larger than one host's devices would put halos on DCN — the
+    mesh builder must refuse."""
+    from sesr_tpu.parallel.multihost import make_mesh_multihost
+
+    with pytest.raises(AssertionError, match="DCN"):
+        make_mesh_multihost(n_hosts=2, dp=2, sp=4)

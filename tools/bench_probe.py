@@ -52,12 +52,12 @@ def main():
             rng.random((batch, H, W, spec.in_channels), dtype=np.float32)))
 
     candidates = {
-        "fast_b1": (1, lambda c: _integer_forward_impl(
-            spec, c, qp, False, None, True, "fast")[0]),
-        "packed_s2_b1": (1, lambda c: _packed_fast_impl(spec, c, qp, 2)),
-        "packed_s4_b1": (1, lambda c: _packed_fast_impl(spec, c, qp, 4)),
-        "packed_s2_b4": (4, lambda c: _packed_fast_impl(spec, c, qp, 2)),
-        "packed_s2_b8": (8, lambda c: _packed_fast_impl(spec, c, qp, 2)),
+        "packed_s4_b1": (1, lambda c: _packed_fast_impl(spec, c, qp, (4, 4))),
+        "packed_s2x4_b1": (1, lambda c: _packed_fast_impl(spec, c, qp, (2, 4))),
+        "packed_s4x2_b1": (1, lambda c: _packed_fast_impl(spec, c, qp, (4, 2))),
+        "packed_s4_b4": (4, lambda c: _packed_fast_impl(spec, c, qp, (4, 4))),
+        "packed_s4_b8": (8, lambda c: _packed_fast_impl(spec, c, qp, (4, 4))),
+        "packed_s4x8_b1": (1, lambda c: _packed_fast_impl(spec, c, qp, (4, 8))),
     }
 
     results = {}

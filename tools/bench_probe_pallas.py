@@ -46,14 +46,13 @@ def main():
     rng = np.random.default_rng(0)
 
     configs = [
-        ("s2_t16x32", dict(s=2, tile_h=16, tile_w=32)),
-        ("s2_t32x32", dict(s=2, tile_h=32, tile_w=32)),
-        ("s2_t16x64", dict(s=2, tile_h=16, tile_w=64)),
-        ("s2_t32x64", dict(s=2, tile_h=32, tile_w=64)),
-        ("s2_t16x128", dict(s=2, tile_h=16, tile_w=128)),
-        ("s2_t32x96", dict(s=2, tile_h=32, tile_w=96)),
-        ("s4_t16x32", dict(s=4, tile_h=16, tile_w=32)),
-        ("s4_t16x64", dict(s=4, tile_h=16, tile_w=64)),
+        ("s4_t16x64_g8", dict(s=4, tile_h=16, tile_w=64, g=8)),
+        ("s4_t20x68_g6", dict(s=4, tile_h=20, tile_w=68, g=6)),
+        ("s4_t22x70_g5", dict(s=4, tile_h=22, tile_w=70, g=5)),
+        ("s4_t16x96_g8", dict(s=4, tile_h=16, tile_w=96, g=8)),
+        ("s4_t22x118_g5", dict(s=4, tile_h=22, tile_w=118, g=5)),
+        ("s2_t22x70_g5", dict(s=2, tile_h=22, tile_w=70, g=5)),
+        ("s2_t32x64_g8", dict(s=2, tile_h=32, tile_w=64, g=8)),
     ]
 
     results = {}
