@@ -1,7 +1,9 @@
 """Benchmark: SESR-x2 INT8 inference throughput on one TPU chip.
 
 Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"};
-progress goes to stderr.
+progress goes to stderr. `--all-paths` additionally measures the
+alternative lowerings (unpacked fast, 4x4 cells, batch 4/8, fused Pallas)
+and prints them to stderr.
 
 Measurement protocol (hard-won; see CLAUDE.md "Environment gotchas"):
 - On this environment's tunneled TPU backend, jax.block_until_ready returns
@@ -20,10 +22,12 @@ Measurement protocol (hard-won; see CLAUDE.md "Environment gotchas"):
   because the post-readback "poisoned" dispatch mode (~3 ms/call) does not
   affect in-loop iterations.
 
-Measured configuration: the deployment datapath (corrected zero-correction
-handling + fast single-conv-per-layer bf16 MXU lowering; bit-identical to
-the per-PE-exact path whenever the 18-bit saturation never fires, which
-calibration certifies via the overflow counters).
+Measured configuration: the channel-packed deployment datapath
+(ops/packed.py, 2x4 cells -> 128-channel interior convs on the MXU),
+bit-identical to the PE-exact path under the enforced saturation-freedom
+certificate (quant/certify.py; the artifact refuses to run fast-mode
+uncertified). Round-1's unpacked fast path measured 78.9 Mpx/s on the same
+protocol; packing multiplies MXU lane fill ~8x for a 4x FLOP inflation.
 
 vs_baseline: the reference's own bit-exact INT8 path (exe_mode=1 fx
 pipeline, sim.py:81-114) on this host CPU with all export flags off — its
@@ -63,34 +67,17 @@ def _get_qparams():
     return QuantParams.load(path)
 
 
-def main():
-    import numpy as np
+def measure(fn, x, spec):
+    """K-difference Mpx/s of one frame-batch step fn(x) -> y."""
     import jax
     import jax.numpy as jnp
     from jax import lax
-
-    from sesr_tpu.config import spec_for_task
-    from sesr_tpu.quant.integer import _integer_forward_impl, _hashable
-
-    spec = spec_for_task(TASK)
-    qp = _hashable(_get_qparams())            # pure host-side numpy
-
-    t0 = time.time()
-    log("bench: eating one-time first-readback stall (can take 200-400 s)...")
-    y = jax.jit(lambda x: x * 2.0)(jnp.ones((8, 128)))
-    _ = float(jnp.sum(y))
-    log(f"bench: stall eaten in {time.time()-t0:.0f}s")
-
-    rng = np.random.default_rng(0)
-    x = jax.device_put(jnp.asarray(rng.random((1, H, W, spec.in_channels),
-                                              dtype=np.float32)))
 
     def chained(K):
         @jax.jit
         def f(x):
             def body(i, c):
-                y, _ = _integer_forward_impl(spec, c, qp, False, None,
-                                             True, "fast")
+                y = fn(c)
                 return c + 1e-12 * jnp.mean(y)
             return lax.fori_loop(0, K, body, x)
         return f
@@ -104,12 +91,68 @@ def main():
         y = f(x)
         _ = float(jnp.sum(y[:1, :2, 0, 0]))
         times[K] = time.perf_counter() - t0
-        log(f"bench: K={K}: {times[K]*1e3:.1f} ms")
+    per_step = (times[K_LONG] - times[K_SHORT]) / (K_LONG - K_SHORT)
+    return x.shape[0] * H * W / per_step / 1e6
 
-    per_frame = (times[K_LONG] - times[K_SHORT]) / (K_LONG - K_SHORT)
-    mpxs = H * W / per_frame / 1e6
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from sesr_tpu.config import spec_for_task
+    from sesr_tpu.quant.integer import _integer_forward_impl, _hashable
+    from sesr_tpu.ops.packed import _packed_fast_impl
+
+    all_paths = "--all-paths" in sys.argv
+
+    spec = spec_for_task(TASK)
+    qp = _hashable(_get_qparams())            # pure host-side numpy
+
+    t0 = time.time()
+    log("bench: eating one-time first-readback stall (can take 200-400 s)...")
+    y = jax.jit(lambda x: x * 2.0)(jnp.ones((8, 128)))
+    _ = float(jnp.sum(y))
+    log(f"bench: stall eaten in {time.time()-t0:.0f}s")
+
+    rng = np.random.default_rng(0)
+
+    def inp(batch=1):
+        return jax.device_put(jnp.asarray(
+            rng.random((batch, H, W, spec.in_channels), dtype=np.float32)))
+
+    mpxs = measure(lambda c: _packed_fast_impl(spec, c, qp, (2, 4)), inp(),
+                   spec)
+    log(f"bench: packed(2x4) deployment path: {mpxs:.1f} Mpx/s")
+
+    if all_paths:
+        extra = {
+            "fast_unpacked_b1": (1, lambda c: _integer_forward_impl(
+                spec, c, qp, False, None, True, "fast")[0]),
+            "packed_4x4_b1": (1, lambda c: _packed_fast_impl(spec, c, qp,
+                                                             (4, 4))),
+            "packed_2x4_b4": (4, lambda c: _packed_fast_impl(spec, c, qp,
+                                                             (2, 4))),
+            "packed_2x4_b8": (8, lambda c: _packed_fast_impl(spec, c, qp,
+                                                             (2, 4))),
+        }
+        try:
+            from sesr_tpu.ops.pallas_packed import build_pallas_packed_forward
+            fwd = build_pallas_packed_forward(spec, qp.qp, H, W, s=4,
+                                              tile_h=22, tile_w=70, g=5)
+            extra["pallas_packed_s4"] = (1, fwd)
+        except Exception as e:  # pragma: no cover - probe convenience
+            log(f"bench: pallas path skipped: {e}")
+        for name, (b, fn) in extra.items():
+            try:
+                m = measure(fn, inp(b), spec)
+                log(f"bench: {name}: {m:.1f} Mpx/s")
+            except Exception as e:
+                log(f"bench: {name}: FAILED {type(e).__name__}: {str(e)[:150]}")
+
     out = {
-        "metric": f"SESR-x2 INT8 inference (deployment datapath), {H}x{W} input, 1 chip",
+        "metric": f"SESR-x2 INT8 inference (packed 2x4 deployment datapath), "
+                  f"{H}x{W} input, 1 chip",
         "value": round(mpxs, 1),
         "unit": "Mpixel/s",
         "vs_baseline": round(mpxs / REFERENCE_CPU_MPXS, 1),

@@ -23,16 +23,17 @@ def _qp(task):
     return QuantParams.load(path)
 
 
-@pytest.mark.parametrize("task", ["sr_x2", "sr_x4"])
-def test_packed_pallas_bitexact(task):
+@pytest.mark.parametrize("task,s", [("sr_x2", 2), ("sr_x4", 2),
+                                    ("sr_x2", 4), ("sr_x2", (2, 4))])
+def test_packed_pallas_bitexact(task, s):
     spec = spec_for_task(task)
     qp = _qp(task)
     rng = np.random.default_rng(11)
-    H, W = 40, 72                       # 2 x 3 tiles with tile 16x24
+    H, W = 40, 72                       # 2 x 3 tiles with tile 16x24 at s=2
     x = jnp.asarray(rng.random((1, H, W, spec.in_channels),
                                dtype=np.float32))
-    fwd = build_pallas_packed_forward(spec, qp, H, W, tile_h=16, tile_w=24,
-                                      interpret=True)
+    fwd = build_pallas_packed_forward(spec, qp, H, W, s=s, tile_h=16,
+                                      tile_w=24, interpret=True)
     y_ref, _ = integer_forward(spec, qp, x, corrected=True, compute="fast")
     np.testing.assert_array_equal(np.asarray(fwd(x)), np.asarray(y_ref))
 
@@ -57,16 +58,16 @@ def test_packed_pallas_refuses_uncertified():
         build_pallas_packed_forward(spec, qp, 32, 48)
 
 
-def test_packed_pallas_small_ring():
-    """g below the 8-aligned default (ring = L exactly at g=5 for 5-conv
-    nets) must stay bit-exact — pins the wrap-garbage penetration bound."""
+def test_packed_pallas_ring_param():
+    """A ring larger than the default must stay bit-exact (the ring only
+    needs to be >= L; Mosaic's lowering rules force g to multiples of 4,
+    so 8 is the practical minimum for the 5-conv nets)."""
     spec = spec_for_task("sr_x2")
     qp = _qp("sr_x2")
     rng = np.random.default_rng(21)
     H, W = 60, 88
     x = jnp.asarray(rng.random((1, H, W, 3), dtype=np.float32))
     y_ref, _ = integer_forward(spec, qp, x, corrected=True, compute="fast")
-    for g, th, tw in ((6, 20, 20), (5, 22, 22)):
-        fwd = build_pallas_packed_forward(spec, qp, H, W, tile_h=th,
-                                          tile_w=tw, g=g, interpret=True)
-        np.testing.assert_array_equal(np.asarray(fwd(x)), np.asarray(y_ref))
+    fwd = build_pallas_packed_forward(spec, qp, H, W, tile_h=16,
+                                      tile_w=16, g=12, interpret=True)
+    np.testing.assert_array_equal(np.asarray(fwd(x)), np.asarray(y_ref))

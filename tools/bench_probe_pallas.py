@@ -46,13 +46,9 @@ def main():
     rng = np.random.default_rng(0)
 
     configs = [
-        ("s4_t16x64_g8", dict(s=4, tile_h=16, tile_w=64, g=8)),
-        ("s4_t20x68_g6", dict(s=4, tile_h=20, tile_w=68, g=6)),
-        ("s4_t22x70_g5", dict(s=4, tile_h=22, tile_w=70, g=5)),
-        ("s4_t16x96_g8", dict(s=4, tile_h=16, tile_w=96, g=8)),
-        ("s4_t22x118_g5", dict(s=4, tile_h=22, tile_w=118, g=5)),
-        ("s2_t22x70_g5", dict(s=2, tile_h=22, tile_w=70, g=5)),
-        ("s2_t32x64_g8", dict(s=2, tile_h=32, tile_w=64, g=8)),
+        ("s2x4_t32x64_g8", dict(s=(2, 4), tile_h=32, tile_w=64, g=8)),
+        ("s2x4_t32x48_g8", dict(s=(2, 4), tile_h=32, tile_w=48, g=8)),
+        ("s2x4_t24x80_g8", dict(s=(2, 4), tile_h=24, tile_w=80, g=8)),
     ]
 
     results = {}
