@@ -180,6 +180,28 @@ def cmd_train(args):
         print(f"collapsed checkpoint -> {args.out}")
 
 
+def cmd_infer(args):
+    """Deployment inference: the channel-packed certified datapath (the
+    bench.py configuration), with optional PSNR scoring against a dataset."""
+    import jax.numpy as jnp
+    from sesr_tpu.config import spec_for_task
+    from sesr_tpu.metrics import evaluate_pair
+    from sesr_tpu.ops.packed import packed_fast_forward
+    from sesr_tpu.quant.params import QuantParams
+
+    spec = spec_for_task(args.task)
+    qp = QuantParams.load(args.qparams)
+    s = tuple(int(v) for v in args.cells.split("x"))
+    data = list(_dataset(args.task, args))
+    tot_p = tot_s = n = 0
+    for inp, gt in data:
+        y = np.asarray(packed_fast_forward(spec, qp, jnp.asarray(inp), s=s))
+        p, ss = evaluate_pair(args.task, y[0], gt[0], inp[0])
+        tot_p, tot_s, n = tot_p + p, tot_s + ss, n + 1
+    print(f"{args.task} packed({args.cells}) mean psnr: {tot_p/n:.4f}  "
+          f"ssim: {tot_s/n:.4f}  ({n} images)")
+
+
 def cmd_hist(args):
     from sesr_tpu.config import spec_for_task
     from sesr_tpu.quant.observers import dump_histograms
@@ -248,6 +270,14 @@ def main(argv=None):
                    help="training-state file to checkpoint to / resume from")
     p.add_argument("--save-every", type=int, default=50)
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("infer", help="deployment inference on the certified "
+                                     "channel-packed datapath")
+    common(p)
+    p.add_argument("--qparams", required=True)
+    p.add_argument("--cells", default="2x4",
+                   help="packing cell size s_h x s_w (default 2x4)")
+    p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("hist", help="weight/activation histogram PNGs "
                                     "(define.py:34-36 debug dumps)")

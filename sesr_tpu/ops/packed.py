@@ -153,8 +153,15 @@ def packed_layer_taps(spec: SESRSpec, i: int, s: SLike):
     return packed_tap_range(k, sh), packed_tap_range(k, sw)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3))
-def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: SLike):
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: SLike,
+                      narrow_store: bool = True):
+    """narrow_store: materialize the inter-layer boundary as the EXACT
+    integer-valued tensors (int8 conv inputs, int16 rounded shortcut)
+    instead of the f32 requant outputs — 4x less HBM traffic per layer.
+    Bit-exact by construction: x_q IS the quantized intermediate (<= 8
+    bits) and round(relu(h)) == relu(round(h)) for the int16 shortcut,
+    whose values stay well inside 15 bits (certified branch peaks ~300)."""
     qp = qp_static
     hw = qp.hw
     L = spec.num_convs
@@ -190,11 +197,16 @@ def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: SLike):
                             qmin, qmax)
         else:
             # corrected integer residual add (quant/integer.py
-            # _quantize_domain_in, corrected=True)
+            # _quantize_domain_in, corrected=True); with narrow_store the
+            # shortcut is already its rounded value (round is idempotent)
             t = jnp.round(shortcut) + jnp.round(h)
             t = apply_requant_f32(t, qp.res_requant_m, qp.res_requant_n)
             x_qi = jnp.clip(jnp.round(t + jnp.float32(qp.a_zero[i])),
                             qmin, qmax)
+        if narrow_store and i > 0:
+            # int8 layer boundary: exact, and the tensor XLA materializes
+            # in HBM between the conv fusions shrinks 4x
+            x_qi = x_qi.astype(jnp.int8).astype(jnp.float32)
         x_shift = x_qi - jnp.float32(z_eff)
         if mask is not None:
             cpl = x_shift.shape[-1] // (sh * sw)
@@ -210,6 +222,13 @@ def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: SLike):
         h = apply_requant_f32(y, qp.requant_m[i], qp.requant_n[i])
         if i == 0:
             shortcut = jax.nn.relu(h)
+            if narrow_store:
+                # the residual add only consumes round(shortcut)
+                # (quan_func.py:250 semantics, corrected form); rounding
+                # commutes with relu, and the certified branch magnitude
+                # (~300 max) sits well inside int16
+                shortcut = jnp.round(shortcut).astype(jnp.int16) \
+                    .astype(jnp.float32)
             h = shortcut
         elif i < L - 1:
             h = jax.nn.relu(h)
