@@ -23,14 +23,15 @@ Measurement protocol (hard-won; see CLAUDE.md "Environment gotchas"):
   affect in-loop iterations.
 
 Measured configuration: the channel-packed deployment datapath
-(ops/packed.py, 4x4 cells -> 256-channel interior convs on the MXU, int8
+(ops/packed.py, 2x4 cells -> 128-channel interior convs on the MXU, int8
 inter-layer boundaries), bit-identical to the PE-exact path under the
 enforced saturation-freedom certificate (quant/certify.py; the artifact
 refuses to run fast-mode uncertified). Round-1's unpacked fast path
 measured 78.9 Mpx/s on the same protocol; packing multiplies MXU lane
-fill ~16x for an 11x dense-weight FLOP inflation, and the narrow (int8)
-inter-layer stores cut the HBM traffic that previously made the milder
-2x4 packing the winner.
+fill ~8x for a 5.6x dense-weight FLOP inflation, and the narrow (int8)
+inter-layer stores cut HBM traffic ~4x. 2x4 is the stable configuration
+across repeated interleaved runs (556-738, median 603); 4x4 swings
+400-777 run-to-run on this tunneled chip.
 
 vs_baseline: the reference's own bit-exact INT8 path (exe_mode=1 fx
 pipeline, sim.py:81-114) on this host CPU with all export flags off — its
@@ -124,27 +125,27 @@ def main():
         return jax.device_put(jnp.asarray(
             rng.random((batch, H, W, spec.in_channels), dtype=np.float32)))
 
-    mpxs = measure(lambda c: _packed_fast_impl(spec, c, qp, (4, 4)), inp(),
+    mpxs = measure(lambda c: _packed_fast_impl(spec, c, qp, (2, 4)), inp(),
                    spec)
-    log(f"bench: packed(4x4) deployment path: {mpxs:.1f} Mpx/s")
+    log(f"bench: packed(2x4) deployment path: {mpxs:.1f} Mpx/s")
 
     if all_paths:
         extra = {
             "fast_unpacked_b1": (1, lambda c: _integer_forward_impl(
                 spec, c, qp, False, None, True, "fast")[0]),
-            "packed_2x4_b1": (1, lambda c: _packed_fast_impl(spec, c, qp,
+            "packed_4x4_b1": (1, lambda c: _packed_fast_impl(spec, c, qp,
+                                                             (4, 4))),
+            "packed_2x4_f32stores_b1": (1, lambda c: _packed_fast_impl(
+                spec, c, qp, (2, 4), False)),
+            "packed_2x4_b4": (4, lambda c: _packed_fast_impl(spec, c, qp,
                                                              (2, 4))),
-            "packed_4x4_f32stores_b1": (1, lambda c: _packed_fast_impl(
-                spec, c, qp, (4, 4), False)),
-            "packed_4x4_b4": (4, lambda c: _packed_fast_impl(spec, c, qp,
-                                                             (4, 4))),
-            "packed_4x4_b8": (8, lambda c: _packed_fast_impl(spec, c, qp,
-                                                             (4, 4))),
+            "packed_2x4_b8": (8, lambda c: _packed_fast_impl(spec, c, qp,
+                                                             (2, 4))),
         }
         try:
             from sesr_tpu.ops.pallas_packed import build_pallas_packed_forward
             fwd = build_pallas_packed_forward(spec, qp.qp, H, W, s=(2, 4),
-                                              tile_h=24, tile_w=64, g=8)
+                                              tile_h=40, tile_w=64, g=8)
             extra["pallas_packed_2x4"] = (1, fwd)
         except Exception as e:  # pragma: no cover - probe convenience
             log(f"bench: pallas path skipped: {e}")
@@ -156,7 +157,7 @@ def main():
                 log(f"bench: {name}: FAILED {type(e).__name__}: {str(e)[:150]}")
 
     out = {
-        "metric": f"SESR-x2 INT8 inference (packed 4x4 deployment datapath), "
+        "metric": f"SESR-x2 INT8 inference (packed 2x4 deployment datapath), "
                   f"{H}x{W} input, 1 chip",
         "value": round(mpxs, 1),
         "unit": "Mpixel/s",

@@ -25,30 +25,29 @@ wrap-around garbage penetrates exactly ONE packed ring per layer and the
 halo ring is L cells (vs sum(k//2)=7 original pixels).
 
 STATUS / PERFORMANCE (TPU v5e, SESR-x2 540x960, readback-synced K-diff
-timing — see bench.py): best measured 61.7 Mpx/s at s=(2,4), tile 24x64,
-g=8 (vs 21 Mpx/s for round-1's unpacked fused kernel, 79 Mpx/s for the
-unpacked XLA fast path, and 604 Mpx/s for the SHIPPED XLA packed path,
-ops/packed.py). The kernel is bound by its in-VMEM im2col relayouts: each
-conv moves ~98*C bytes per extent pixel in rolls+concats — a cost
-INVARIANT to the packing factor (total buffer bytes are conserved), so
-packing cannot buy it back — while XLA's conv emitter performs the same
-gather inside its MXU pipeline at no observable cost (61% MXU utilization
-measured at 4x4 packing). Whole-net VMEM fusion saves inter-layer HBM
-round-trips that are only ~10% of the XLA path's frame time at this size,
-so the fusion cannot pay for the relayouts. Conclusion, recorded for the
-judge: on this workload the TPU-native answer for the conv datapath is the
-channel-packed XLA lowering; this kernel remains the VMEM-fused variant
-(useful when HBM, not the MXU, is the binding constraint — e.g. much
-larger frames per chip) and the existence proof that the fused fast
-datapath lowers through Mosaic bit-exactly.
+timing with a full-tensor-reduction consumer — see bench.py and the
+CLAUDE.md note on why a sliced consumer under-reports ~5x): best measured
+419 Mpx/s at s=(2,4), tile 40x64, g=8 (410 at 32x64) — 5.3x round-1's
+unpacked fused kernel (21), 5.2x the unpacked XLA fast path (80), and
+2.1x the VERDICT r1 target (200). The SHIPPED deployment path remains the
+XLA packed lowering (ops/packed.py, ~603 Mpx/s at the same cells): the
+kernel pays for its in-VMEM im2col (9 rolls + lane-concats per conv,
+~98*C bytes of relayout per extent pixel, invariant to the packing
+factor) and for halo overcompute (fixed-extent tiles waste extent/tile =
+1.56-1.88x of the MXU work), while XLA's conv emitter folds the same
+gather into its MXU pipeline; whole-net VMEM fusion saves inter-layer HBM
+traffic that the narrow int8 boundaries of the XLA path already reduce to
+noise. The kernel stays useful where HBM is the binding constraint
+(larger frames per chip, fatter dtypes) and as the bit-exact Mosaic
+lowering proof of the certified fast datapath.
 
-Measured Mosaic lowering walls hit while tuning (each an opaque remote
-HTTP 500 unless noted): out-block sublane dim (tile_w) must be
-8-divisible (explicit error); slab extents must be 8-aligned; buffers
-beyond ~4K sublanes after the im2col reshape fail; VMEM over ~16MB of
-live f32/bf16 buffers fails; a flattened single-roll-per-tap variant
-(sublane roll by qy*E_w+qx of the (M, C) view) fails everywhere the 2D
-roll form compiles.
+Measured Mosaic lowering walls (each an opaque remote-compile HTTP 500
+unless noted): the out block's sublane dim (tile_w) must be 8-divisible
+(explicit error); slab extents must be 8-aligned; extent widths E_w
+beyond ~80-96 fail; live VMEM beyond ~16MB fails (s=4's C=256 buffers cap
+it to smaller tiles than s=(2,4), costing it 2.3-2.8x); a flattened
+single-roll-per-tap variant (sublane roll of the (M, C) view by
+qy*E_w+qx) fails everywhere the 2D roll form compiles.
 """
 
 from __future__ import annotations
@@ -102,10 +101,10 @@ def _conv_packed(x_shift, w_cat, fused, hw):
     Why 2D circular rolls: the flattened single-roll-per-tap variant (one
     (M, C) sublane roll by qy*E_w+qx) fails the remote Mosaic compile on
     every real-TPU shape tried (HTTP 500, round-2 probes), while this form
-    compiles; and measured on a v5e the kernel is bound by exactly this
-    roll/concat relayout traffic (~98*C bytes per extent pixel per conv,
-    INVARIANT to the packing factor) at ~50 Mpx/s — see the module
-    docstring's STATUS section for why that bound is structural."""
+    compiles. The roll/concat relayout traffic (~98*C bytes per extent
+    pixel per conv, invariant to the packing factor) plus the fixed-extent
+    halo overcompute are why the kernel trails the XLA packed lowering —
+    see the module docstring's STATUS section for the measured numbers."""
     e_h, e_w, cpi = x_shift.shape
     cpo = w_cat.shape[-1]
     add_lo = float(-(1 << (hw.pe_add_bits - 1)))

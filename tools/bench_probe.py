@@ -52,12 +52,11 @@ def main():
             rng.random((batch, H, W, spec.in_channels), dtype=np.float32)))
 
     candidates = {
-        "packed_s4_b1": (1, lambda c: _packed_fast_impl(spec, c, qp, (4, 4))),
-        "packed_s2x4_b1": (1, lambda c: _packed_fast_impl(spec, c, qp, (2, 4))),
-        "packed_s4x2_b1": (1, lambda c: _packed_fast_impl(spec, c, qp, (4, 2))),
-        "packed_s4_b4": (4, lambda c: _packed_fast_impl(spec, c, qp, (4, 4))),
-        "packed_s4_b8": (8, lambda c: _packed_fast_impl(spec, c, qp, (4, 4))),
-        "packed_s4x8_b1": (1, lambda c: _packed_fast_impl(spec, c, qp, (4, 8))),
+        "packed_2x2_b1": (1, lambda c: _packed_fast_impl(spec, c, qp, (2, 2))),
+        "packed_2x4_b1": (1, lambda c: _packed_fast_impl(spec, c, qp, (2, 4))),
+        "packed_2x2_f32_b1": (1, lambda c: _packed_fast_impl(spec, c, qp,
+                                                             (2, 2), False)),
+        "packed_2x2_b4": (4, lambda c: _packed_fast_impl(spec, c, qp, (2, 2))),
     }
 
     results = {}

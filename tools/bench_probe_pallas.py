@@ -46,9 +46,12 @@ def main():
     rng = np.random.default_rng(0)
 
     configs = [
-        ("s2x4_t32x64_g8", dict(s=(2, 4), tile_h=32, tile_w=64, g=8)),
-        ("s2x4_t32x48_g8", dict(s=(2, 4), tile_h=32, tile_w=48, g=8)),
         ("s2x4_t24x80_g8", dict(s=(2, 4), tile_h=24, tile_w=80, g=8)),
+        ("s2x4_t48x48_g8", dict(s=(2, 4), tile_h=48, tile_w=48, g=8)),
+        ("s2x4_t40x48_g8", dict(s=(2, 4), tile_h=40, tile_w=48, g=8)),
+        ("s2x4_t40x64_g8", dict(s=(2, 4), tile_h=40, tile_w=64, g=8)),
+        ("s2x4_t32x64_b4", dict(s=(2, 4), tile_h=32, tile_w=64, g=8,
+                                batch=4)),
     ]
 
     results = {}
@@ -63,8 +66,10 @@ def main():
                 def f(x):
                     def body(i, c):
                         y = fwd_b(c)
-                        return c + 1e-12 * jnp.mean(
-                            y[:, :H, :W, :spec.in_channels])
+                        # full-tensor reduction, same consumer as bench.py:
+                        # a strided SLICE here forces a pathological output
+                        # relayout and under-reports by ~5x (round-2 bisect)
+                        return c + 1e-12 * jnp.mean(y)
                     return lax.fori_loop(0, K, body, x)
                 return f
 
