@@ -106,7 +106,7 @@ def main():
 
     from sesr_tpu.config import spec_for_task
     from sesr_tpu.quant.integer import _integer_forward_impl, _hashable
-    from sesr_tpu.ops.packed import _packed_fast_impl
+    from sesr_tpu.ops.packed import _packed_fast_impl, _packed_exact_impl
 
     all_paths = "--all-paths" in sys.argv
 
@@ -135,6 +135,8 @@ def main():
                 spec, c, qp, False, None, True, "fast")[0]),
             "packed_4x4_b1": (1, lambda c: _packed_fast_impl(spec, c, qp,
                                                              (4, 4))),
+            "packed_pe_exact_b1": (1, lambda c: _packed_exact_impl(
+                spec, c, qp, (2, 4), False)),
             "packed_2x4_f32stores_b1": (1, lambda c: _packed_fast_impl(
                 spec, c, qp, (2, 4), False)),
             "packed_2x4_b4": (4, lambda c: _packed_fast_impl(spec, c, qp,

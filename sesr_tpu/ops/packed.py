@@ -262,3 +262,96 @@ def packed_fast_forward(spec: SESRSpec, qp: QuantParams, x, s: SLike = 4):
             "(quant/certify.py): it lowers the certified fast datapath.")
     x = jnp.asarray(x, jnp.float32)
     return _packed_fast_impl(spec, x, _hashable(qp), _s2(s))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _packed_exact_impl(spec: SESRSpec, x, qp_static, s: SLike,
+                       corrected: bool):
+    """PE-EXACT packed forward: the full ASIC datapath — per-PE channel
+    round-robin split, zero restoration, 18-bit per-PE saturation, 20-bit
+    adder, unfloored-zero fused bias (quan_func.py:298-491) — with every
+    conv on the packed channel axis. Unlike the fast path this needs NO
+    saturation-freedom certificate: the clamps are computed, not assumed,
+    so it is bit-exact with quant/integer.py on EVERY task including the
+    ones that genuinely saturate (nr, nrdm_6).
+
+    The PE split commutes with packing: PE p owns original input channels
+    c % PE == p, so masking the original HWIO kernel before pack_weight_hwio
+    yields the packed kernel of exactly PE p's partial conv, and summing a
+    channel subset in f32 equals the masked conv exactly.
+    """
+    from sesr_tpu.quant.integer import (_pe_weight_masks, _quantize_domain_in,
+                                        _requant_out)
+
+    qp = qp_static
+    hw = qp.hw
+    L = spec.num_convs
+    sh, sw = _s2(s)
+    cells = sh * sw
+
+    n, H, W, c_in = x.shape
+    hp, wpad = -(-H // sh) * sh, -(-W // sw) * sw
+    mask = _pad_mask(spec, H, W, (sh, sw))
+
+    x = jnp.pad(x, ((0, 0), (0, hp - H), (0, wpad - W), (0, 0)))
+    h = space_to_depth_nhwc(x, (sh, sw))
+
+    layer_consts = []
+    for i in range(L):
+        z_eff = qp.effective_zero(i)
+        (qy_lo, qy_hi), (qx_lo, qx_hi) = packed_layer_taps(spec, i, (sh, sw))
+        pe = []
+        for w_p in _pe_weight_masks(np.asarray(qp.w_int[i]), hw.pe):
+            wp = pack_weight_hwio(w_p.astype(np.float32), (sh, sw))
+            zsum = np.tile(w_p.sum(axis=(0, 1, 2)) * z_eff, cells)
+            pe.append((jnp.asarray(wp, jnp.bfloat16),
+                       jnp.asarray(zsum, jnp.int32)))
+        if corrected:
+            hi = (1 << (hw.bias_bits - 1)) - 1
+            fused = np.clip(np.asarray(qp.bias_int[i]), -hi - 1, hi)
+        else:
+            fused = qp.fused_bias(i)
+        layer_consts.append((pe, (qy_lo, qx_lo), (qy_hi, qx_hi),
+                             jnp.asarray(np.tile(fused, cells), jnp.int32)))
+
+    shortcut = None
+    for i in range(L):
+        x_q, x_shift = _quantize_domain_in(h, i, L, qp, shortcut, corrected)
+        if mask is not None:
+            cpl = x_shift.shape[-1] // cells
+            x_shift = x_shift * jnp.repeat(mask, cpl, axis=-1)[None]
+
+        pe, q_lo, q_hi, fused = layer_consts[i]
+        total = None
+        for (wp, zsum) in pe:
+            y_p = packed_conv_same(x_shift.astype(jnp.bfloat16), wp,
+                                   q_lo, q_hi).astype(jnp.int32)
+            if not corrected:
+                y_p = y_p + zsum
+            y_p = saturate(y_p, hw.pe_acc_bits)
+            total = y_p if total is None else total + y_p
+        y = saturate(total, hw.pe_add_bits) + fused
+        h, extras = _requant_out(y, i, L, qp)
+        if i == 0:
+            shortcut = extras["shortcut"]
+        if i < L - 1:
+            h = jax.nn.relu(h)
+
+    out = depth_to_space_nhwc(h, (sh, sw))[:, :H, :W, :]
+    if spec.has_pixel_shuffle:
+        out = pixel_shuffle_nhwc(out, spec.scaling_factor)
+    return out
+
+
+def packed_exact_forward(spec: SESRSpec, qp: QuantParams, x,
+                         s: SLike = (2, 4), corrected: bool = False):
+    """PE-exact integer forward on the packed channel axis.
+
+    Bit-identical to integer_forward(spec, qp, x, corrected=corrected)
+    (the reference-exact ASIC sim when corrected=False) at channel-packed
+    MXU speed; needs no fast-mode certificate. x: NHWC float in [0, 1].
+    """
+    from sesr_tpu.quant.integer import _hashable
+
+    x = jnp.asarray(x, jnp.float32)
+    return _packed_exact_impl(spec, x, _hashable(qp), _s2(s), corrected)

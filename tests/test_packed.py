@@ -89,3 +89,26 @@ def test_packed_refuses_uncertified():
                    safe_zero_floor=True)
     with pytest.raises(ValueError, match="certified"):
         packed_fast_forward(spec, qp, jnp.asarray(images[0]))
+
+
+@pytest.mark.parametrize("task,corrected", [
+    ("sr_x2", False), ("sr_x2", True), ("sr_x4", False),
+    ("nr", False), ("nrdm_6", False), ("nrdm_3", False), ("dm", True),
+])
+def test_packed_exact_bitexact(task, corrected):
+    """PE-exact packed path == the reference-exact interpreter on every
+    task — INCLUDING nr/nrdm_6, which saturate the 18-bit accumulator and
+    are refused by the certified fast path."""
+    from sesr_tpu.ops.packed import packed_exact_forward
+
+    path = os.path.join(ARTIFACTS, f"qparams_{task}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"{path} missing")
+    spec = spec_for_task(task)
+    qp = QuantParams.load(path)
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.random((1, 28, 44, spec.in_channels),
+                               dtype=np.float32))
+    y_ref, _ = integer_forward(spec, qp, x, corrected=corrected)
+    y_pk = packed_exact_forward(spec, qp, x, corrected=corrected)
+    np.testing.assert_array_equal(np.asarray(y_pk), np.asarray(y_ref))
