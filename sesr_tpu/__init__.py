@@ -10,7 +10,9 @@ gui-yupeng/sesr-pytorch-quantize (reference mounted at /root/reference):
 - a bit-exact integer simulation of a 4-PE INT8 conv ASIC: 18-bit PE
   accumulators, 20-bit PE adder, 16-bit fused bias, 16-bit-mantissa x 2^-n
   fixed-point requantization                           (quant/integer.py)
-- fused int8 Pallas TPU kernels for the production path (ops/pallas_conv.py)
+- a channel-packed (space-to-depth) MXU datapath for production inference
+  plus fused whole-network Pallas kernels              (ops/packed.py,
+                                                        ops/pallas_*.py)
 - spatial tiling + halo exchange over a device mesh     (parallel/)
 - QAT fake-quant with straight-through estimators       (quant/qat.py)
 - RTL hex test-vector exporters                         (export/)

@@ -1,4 +1,9 @@
 from sesr_tpu.parallel.tiling import (
-    make_mesh, sharded_integer_forward, sharded_float_forward,
+    make_mesh, make_mesh_2d, sharded_integer_forward,
+    sharded_integer_forward_2d, sharded_float_forward,
+    sharded_float_forward_2d, sharded_calibrate,
 )
-from sesr_tpu.ops.halo import halo_exchange_w
+from sesr_tpu.parallel.multihost import (
+    make_mesh_multihost, multihost_integer_forward, stream_frames,
+)
+from sesr_tpu.ops.halo import halo_exchange, halo_exchange_2d, halo_exchange_w
