@@ -61,3 +61,25 @@ def add_noise(image: np.ndarray, shot_noise: float, read_noise: float,
     variance = image * shot_noise + read_noise
     noisy = image + rng.normal(size=image.shape) * np.sqrt(variance)
     return noisy.astype(np.float32), variance.astype(np.float32)
+
+
+def augment_8way(img: np.ndarray, mode: int) -> np.ndarray:
+    """The reference's 8-way dihedral augmentation (self_dataset.py:15-32):
+    identity, flipud, and rot90 k=1..3 each with/without flipud."""
+    if mode == 0:
+        return img
+    if mode == 1:
+        return np.ascontiguousarray(np.flipud(img))
+    k = (mode // 2)
+    out = np.rot90(img, k=k)
+    if mode % 2 == 1:
+        out = np.flipud(out)
+    return np.ascontiguousarray(out)
+
+
+def rggb_to_linrgb(rggb_hw4: np.ndarray) -> np.ndarray:
+    """(H, W, 4) RGGB planes -> (H, W, 3) linear RGB with the two greens
+    averaged (self_dataset_sr.py:117-118)."""
+    return np.stack((rggb_hw4[:, :, 0],
+                     np.mean(rggb_hw4[:, :, 1:3], axis=-1),
+                     rggb_hw4[:, :, 3]), axis=2)

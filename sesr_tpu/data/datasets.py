@@ -17,7 +17,8 @@ from typing import Iterator, List, Optional, Tuple
 import numpy as np
 
 from sesr_tpu.data.bayer import (
-    expand_bayer_plane, random_noise_levels, add_noise, mosaic, four2three,
+    augment_8way, expand_bayer_plane, random_noise_levels, add_noise,
+    mosaic, four2three, rggb_to_linrgb,
 )
 
 
@@ -167,6 +168,98 @@ class TrainBayerDataset:
     def __iter__(self):
         for i in range(len(self)):
             yield self[i]
+
+
+class TrainMatDataset:
+    """Training pairs from 14-bit RGGB-plane .mat crops — the reference's
+    primary train loader (self_dataset_sr.py:101-152): random ``ps`` crop,
+    greens averaged into linear RGB, 8-way dihedral augmentation, then the
+    per-task degradation (gamma + BT.601 luma + bicubic 1/4 downscale for
+    SR; RGGB mosaic + shot/read noise for NR/DM/NRDM).
+
+    Items are (inp, gt, variance) NHWC float32, the reference's 3-tuple
+    contract; `task` replaces its MFLAG integer.
+    """
+
+    MFLAGS = {"nr": 1, "dm": 2, "nrdm_3": 3, "nrdm_6": 4, "sr_x4": 5}
+
+    def __init__(self, mat_dir: str, task: str, ps: int = 128,
+                 key: str = "mat_crop", seed: int = 0):
+        assert task in self.MFLAGS, task
+        self.paths = sorted(glob.glob(os.path.join(mat_dir, "*.mat")))
+        if not self.paths:
+            raise FileNotFoundError(f"no .mat files under {mat_dir}")
+        self.task, self.ps, self.key = task, ps, key
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, i):
+        import scipy.io as scio
+
+        img = np.asarray(scio.loadmat(self.paths[i])[self.key])
+        img = img / (2 ** 14 - 1.0)                     # 14-bit planes
+        ww, hh = img.shape[:2]
+        ps = self.ps
+        bii = int(self.rng.integers(0, max(ww - ps, 1)))
+        bjj = int(self.rng.integers(0, max(hh - ps, 1)))
+        linrgb = rggb_to_linrgb(img[bii:bii + ps, bjj:bjj + ps, :])
+        linrgb = np.clip(
+            augment_8way(linrgb, int(self.rng.integers(0, 8))), 0, 1)
+
+        t = self.task
+        if t == "sr_x4":
+            linrgb = linrgb ** (1 / 2.2)
+            gt = (0.299 * linrgb[:, :, 0] + 0.587 * linrgb[:, :, 1]
+                  + 0.114 * linrgb[:, :, 2])
+            inp = _bicubic_resize(gt, 1 / 4.0)
+            return (inp[None, :, :, None].astype(np.float32),
+                    gt[None, :, :, None].astype(np.float32),
+                    np.zeros((), np.float32))
+        four = mosaic(np.clip(linrgb, 0, 1).transpose(2, 0, 1))
+        shot, read = random_noise_levels(self.rng)
+        if t == "dm":
+            gt = linrgb
+            inp = four2three(four)
+            variance = np.zeros((), np.float32)
+        elif t == "nr":
+            gt = four2three(four).transpose(1, 2, 0)
+            noisy, _ = add_noise(four, shot, read, self.rng)
+            # reference quirk: variance from the NOISY tensor
+            # (self_dataset_sr.py:142-144)
+            variance = (shot * noisy + read).astype(np.float32)
+            inp = four2three(noisy)
+        else:                                           # nrdm_3 / nrdm_6
+            gt = linrgb
+            noisy, _ = add_noise(four, shot, read, self.rng)
+            variance = (shot * noisy + read).astype(np.float32)
+            inp = four2three(noisy)
+        inp = np.clip(inp.transpose(1, 2, 0), 0, 1)
+        gt = np.clip(np.asarray(gt), 0, 1)
+        if variance.ndim:
+            variance = variance.transpose(1, 2, 0)[None]
+        return (inp[None].astype(np.float32), gt[None].astype(np.float32),
+                variance)
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
+def _bicubic_resize(img_hw: np.ndarray, factor: float) -> np.ndarray:
+    """Bicubic resize (reference cv2.INTER_CUBIC, self_dataset_sr.py:130);
+    PIL fallback when cv2 is absent."""
+    try:
+        import cv2
+        return cv2.resize(img_hw, (0, 0), fx=factor, fy=factor,
+                          interpolation=cv2.INTER_CUBIC)
+    except ImportError:
+        from PIL import Image
+        h, w = img_hw.shape[:2]
+        im = Image.fromarray(img_hw.astype(np.float32), mode="F")
+        return np.asarray(im.resize((int(w * factor), int(h * factor)),
+                                    Image.BICUBIC))
 
 
 class SyntheticDataset:

@@ -129,3 +129,49 @@ def test_train_bayer_crop_is_even_aligned(tmp_path):
         # odd/odd site — just assert the loader ran with a valid phase by
         # checking shapes and range
         assert inp.shape == (1, 8, 8, 3)
+
+
+def _make_mat_tree(root, n=2, w=48, h=40):
+    import scipy.io as scio
+    rng = np.random.default_rng(6)
+    for i in range(n):
+        mat = (rng.random((w, h, 4)) * (2 ** 14 - 1)).astype(np.int16)
+        scio.savemat(os.path.join(root, f"crop{i}.mat"), {"mat_crop": mat})
+
+
+@pytest.mark.parametrize("task", ["sr_x4", "nr", "dm", "nrdm_3"])
+def test_train_mat_dataset(tmp_path, task):
+    """.mat RGGB train loader (self_dataset_sr.py:101-152): 14-bit planes,
+    8-way aug, per-task degradation, 3-tuple contract."""
+    from sesr_tpu.data.datasets import TrainMatDataset
+
+    _make_mat_tree(str(tmp_path))
+    ds = TrainMatDataset(str(tmp_path), task, ps=16, seed=4)
+    assert len(ds) == 2
+    inp, gt, variance = ds[0]
+    if task == "sr_x4":
+        assert inp.shape == (1, 4, 4, 1) and gt.shape == (1, 16, 16, 1)
+        assert variance.shape == ()
+    else:
+        assert inp.shape == (1, 16, 16, 3) and gt.shape == (1, 16, 16, 3)
+        if task == "dm":
+            assert variance.shape == ()
+        else:
+            # variance lives in the RGGB 4-plane domain: the reference
+            # computes shot*noisy+read on the mosaic BEFORE four2three
+            # (self_dataset_sr.py:141-145)
+            assert variance.shape == (1, 8, 8, 4)
+    assert inp.min() >= 0.0 and inp.max() <= 1.0
+
+
+def test_augment_8way_roundtrip():
+    """All 8 dihedral modes are distinct and shape-preserving on a square."""
+    from sesr_tpu.data.bayer import augment_8way
+
+    rng = np.random.default_rng(7)
+    img = rng.random((8, 8, 3)).astype(np.float32)
+    outs = [augment_8way(img, m) for m in range(8)]
+    for o in outs:
+        assert o.shape == img.shape
+    flat = {o.tobytes() for o in outs}
+    assert len(flat) == 8
