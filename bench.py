@@ -125,9 +125,16 @@ def main():
         return jax.device_put(jnp.asarray(
             rng.random((batch, H, W, spec.in_channels), dtype=np.float32)))
 
-    mpxs = measure(lambda c: _packed_fast_impl(spec, c, qp, (2, 4)), inp(),
-                   spec)
-    log(f"bench: packed(2x4) deployment path: {mpxs:.1f} Mpx/s")
+    # headline = median of 3 repeated K-difference measurements (single
+    # measurements on this tunneled chip swing ~+-15%; compile and the
+    # warmup stall are paid once, so repeats are cheap)
+    import statistics
+    x1 = inp()
+    samples = [measure(lambda c: _packed_fast_impl(spec, c, qp, (2, 4)),
+                       x1, spec) for _ in range(3)]
+    mpxs = statistics.median(samples)
+    log(f"bench: packed(2x4) deployment path: "
+        f"{[round(s, 1) for s in samples]} -> median {mpxs:.1f} Mpx/s")
 
     if all_paths:
         extra = {

@@ -119,15 +119,17 @@ def pack_weight_hwio(w: np.ndarray, s: SLike) -> np.ndarray:
 
 
 def packed_conv_same(x_p, wp, q_lo_hw, q_hi_hw,
-                     preferred_element_type=jnp.float32):
+                     preferred_element_type=jnp.float32,
+                     w_valid: bool = False):
     """Stride-1 packed conv with the (possibly asymmetric) zero padding that
     reproduces the original SAME conv. q_lo_hw/q_hi_hw: per-axis (H, W) tap
-    bounds (ints accepted for the symmetric-cell case)."""
+    bounds (ints accepted for the symmetric-cell case). ``w_valid``: no W
+    padding — the caller pre-extended W with a cell halo (sharded mode)."""
     ql = _s2(q_lo_hw)
     qh = _s2(q_hi_hw)
     return jax.lax.conv_general_dilated(
         x_p, wp, window_strides=(1, 1),
-        padding=[(-ql[0], qh[0]), (-ql[1], qh[1])],
+        padding=[(-ql[0], qh[0]), (0, 0) if w_valid else (-ql[1], qh[1])],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=preferred_element_type)
 
@@ -153,15 +155,21 @@ def packed_layer_taps(spec: SESRSpec, i: int, s: SLike):
     return packed_tap_range(k, sh), packed_tap_range(k, sw)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
 def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: SLike,
-                      narrow_store: bool = True):
+                      narrow_store: bool = True, halo_axis=None):
     """narrow_store: materialize the inter-layer boundary as the EXACT
     integer-valued tensors (int8 conv inputs, int16 rounded shortcut)
     instead of the f32 requant outputs — 4x less HBM traffic per layer.
     Bit-exact by construction: x_q IS the quantized intermediate (<= 8
     bits) and round(relu(h)) == relu(round(h)) for the int16 shortcut,
-    whose values stay well inside 15 bits (certified branch peaks ~300)."""
+    whose values stay well inside 15 bits (certified branch peaks ~300).
+
+    halo_axis: mesh axis name for W-sharded execution inside shard_map —
+    each layer's packed conv then exchanges its ONE-cell W halo
+    (ops/halo.py; zeros delivered at image edges == the packed SAME
+    padding) and convolves valid-W. Requires the local W to be a multiple
+    of s_w (cell-aligned shards)."""
     qp = qp_static
     hw = qp.hw
     L = spec.num_convs
@@ -171,6 +179,9 @@ def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: SLike,
     bias_hi = (1 << (hw.bias_bits - 1)) - 1
 
     n, H, W, c_in = x.shape
+    if halo_axis is not None:
+        assert H % sh == 0 and W % sw == 0, (
+            "sharded packed execution needs cell-aligned local shards")
     hp, wpad = -(-H // sh) * sh, -(-W // sw) * sw
     mask = _pad_mask(spec, H, W, (sh, sw))
 
@@ -213,8 +224,13 @@ def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: SLike,
             x_shift = x_shift * jnp.repeat(mask, cpl, axis=-1)[None]
 
         wp, q_lo, q_hi = packed_w[i]
-        y = packed_conv_same(x_shift.astype(jnp.bfloat16), wp,
-                             q_lo, q_hi).astype(jnp.int32)
+        x_c = x_shift.astype(jnp.bfloat16)
+        if halo_axis is not None:
+            from sesr_tpu.ops.halo import halo_exchange
+            assert q_lo[1] == -1 and q_hi[1] == 1, (q_lo, q_hi)
+            x_c = halo_exchange(x_c, 1, halo_axis, dim=2)
+        y = packed_conv_same(x_c, wp, q_lo, q_hi,
+                             w_valid=halo_axis is not None).astype(jnp.int32)
         y = saturate(y, hw.pe_add_bits)
         fused = np.clip(np.asarray(qp.bias_int[i]), -bias_hi - 1, bias_hi)
         fused_p = jnp.asarray(np.tile(fused, sh * sw), jnp.int32)
@@ -242,7 +258,8 @@ def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: SLike,
     return y
 
 
-def packed_fast_forward(spec: SESRSpec, qp: QuantParams, x, s: SLike = 4):
+def packed_fast_forward(spec: SESRSpec, qp: QuantParams, x, s: SLike = (2, 4),
+                        halo_axis=None):
     """Channel-packed deployment forward (XLA). x: NHWC float in [0, 1].
 
     Bit-identical to integer_forward(..., corrected=True, compute="fast")
@@ -250,9 +267,13 @@ def packed_fast_forward(spec: SESRSpec, qp: QuantParams, x, s: SLike = 4):
     running on an (s_h*s_w)-wider channel axis. Requires a certified
     artifact for the same reason the fast path does (quant/certify.py).
 
-    ``s``: cell size, an int (square) or (s_h, s_w). Default 4 (4x4 cells,
-    256-channel interior convs) — the fastest measured configuration on a
-    TPU v5e for 540x960 frames.
+    ``s``: cell size, an int (square) or (s_h, s_w). Default (2, 4) — 2x4
+    cells, 128-channel interior convs: the fastest STABLE configuration
+    measured on a TPU v5e for 540x960 frames (median 603 Mpx/s; 4x4 swings
+    400-777 run-to-run).
+
+    ``halo_axis``: mesh axis name for W-sharded execution inside shard_map
+    (see parallel/tiling.py sharded_packed_forward).
     """
     from sesr_tpu.quant.integer import _hashable
 
@@ -261,7 +282,7 @@ def packed_fast_forward(spec: SESRSpec, qp: QuantParams, x, s: SLike = 4):
             "packed_fast_forward requires a certified QuantParams "
             "(quant/certify.py): it lowers the certified fast datapath.")
     x = jnp.asarray(x, jnp.float32)
-    return _packed_fast_impl(spec, x, _hashable(qp), _s2(s))
+    return _packed_fast_impl(spec, x, _hashable(qp), _s2(s), True, halo_axis)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))

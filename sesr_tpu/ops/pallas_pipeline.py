@@ -35,9 +35,11 @@ and 5x faster than the literal int32 lowering (~4 Mpx/s). Its current
 bound is VPU data movement: with C=16 channels on the 128-wide lane
 dimension every f32 VMEM buffer is 8x padded, and the per-tap circular
 rolls + lane-concats are relayouts of those padded buffers that rival the
-MXU matmul time. Next step for beating the XLA paths outright: a
-channel-packed (space-to-depth) tile layout so K and N fill the MXU —
-tracked for round 2.
+MXU matmul time. The channel-packed (space-to-depth) tile layout built in
+round 2 fixes this — see ops/pallas_packed.py (419 Mpx/s fused kernel) and
+ops/packed.py (the shipped XLA lowering, ~600 Mpx/s). This unpacked kernel
+is kept as the PE-exact fused variant and the minimal Mosaic lowering of
+the datapath.
 """
 
 from __future__ import annotations

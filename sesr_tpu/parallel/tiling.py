@@ -90,6 +90,26 @@ def sharded_float_forward_2d(spec: SESRSpec, params: CollapsedParams,
     return jax.jit(inner)
 
 
+def sharded_packed_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
+                           s=(2, 4)):
+    """The channel-packed deployment datapath sharded (dp=batch, sp=W):
+    each layer's packed conv exchanges a ONE-cell halo over sp (vs k//2
+    pixels unpacked — packing also shrinks the collective payload per
+    layer). Requires W_local % s_w == 0 per shard; bit-identical to the
+    monolithic packed path (tests/test_sharding.py)."""
+    from sesr_tpu.ops.packed import packed_fast_forward
+
+    def local_fn(x):
+        return packed_fast_forward(spec, qp, x, s=s, halo_axis="sp")
+
+    inner = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=P("dp", None, "sp", None),
+        out_specs=P("dp", None, "sp", None),
+    )
+    return jax.jit(inner)
+
+
 def sharded_integer_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh):
     """Build a jitted bit-exact integer forward sharded (dp=batch, sp=W).
 

@@ -249,3 +249,27 @@ def test_multihost_rejects_cross_host_halo():
 
     with pytest.raises(AssertionError, match="DCN"):
         make_mesh_multihost(n_hosts=2, dp=2, sp=4)
+
+
+def test_sharded_packed_forward_bit_exact():
+    """The deployment (channel-packed, certified fast) datapath sharded
+    over W with per-layer one-cell halos == monolithic, bit-exactly."""
+    import os
+    from sesr_tpu.parallel.tiling import sharded_packed_forward
+    from sesr_tpu.ops.packed import packed_fast_forward
+    from sesr_tpu.quant.params import QuantParams
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "artifacts",
+                        "qparams_sr_x2.npz")
+    if not os.path.exists(path):
+        pytest.skip("qparams_sr_x2.npz missing")
+    spec = spec_for_task("sr_x2")
+    qp = QuantParams.load(path)
+    mesh = make_mesh(8, dp=2, sp=4)
+
+    rng = np.random.default_rng(29)
+    # W = 64: 16 per shard, multiple of s_w=4
+    x = rng.random((2, 24, 64, 3), dtype=np.float32)
+    y_mono = packed_fast_forward(spec, qp, jnp.asarray(x))
+    y_shard = sharded_packed_forward(spec, qp, mesh)(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(y_shard), np.asarray(y_mono))
