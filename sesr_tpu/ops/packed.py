@@ -49,7 +49,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from sesr_tpu.config import SESRSpec
-from sesr_tpu.ops.conv import pixel_shuffle_nhwc
 from sesr_tpu.ops.fixedpoint import apply_requant_f32, saturate
 from sesr_tpu.quant.params import QuantParams
 
@@ -79,6 +78,26 @@ def depth_to_space_nhwc(x, s: SLike):
     x = x.reshape(n, hs, ws, sh, sw, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(n, hs * sh, ws * sw, c)
+
+
+def packed_to_image_nhwc(x, s: SLike, r: int = 1):
+    """Fused depth_to_space(s) ∘ pixel_shuffle(r): one transpose from the
+    packed cell layout straight to the final full-resolution image.
+
+    Composing the two index permutations (cell-major (dy, dx, c) channels
+    from space_to_depth_nhwc, then torch PixelShuffle's (c, i, j) order,
+    ops/conv.py:pixel_shuffle_nhwc) avoids materializing the intermediate
+    unpacked tensor — at 1080p output that intermediate is a ~25 MB f32
+    HBM round-trip, measured at ~0.1 ms/frame of the deployment path
+    (tools/bench_probe_r2d.py). With r=1 this is exactly
+    depth_to_space_nhwc."""
+    sh, sw = _s2(s)
+    n, hs, ws, cp = x.shape
+    c = cp // (sh * sw * r * r)
+    x = x.reshape(n, hs, ws, sh, sw, c, r, r)
+    # (n, Y, X, dy, dx, c, i, j) -> (n, Y, dy, i, X, dx, j, c)
+    x = x.transpose(0, 1, 3, 6, 2, 4, 7, 5)
+    return x.reshape(n, hs * sh * r, ws * sw * r, c)
 
 
 def packed_tap_range(k: int, s: int):
@@ -185,10 +204,13 @@ def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: SLike,
     hp, wpad = -(-H // sh) * sh, -(-W // sw) * sw
     mask = _pad_mask(spec, H, W, (sh, sw))
 
-    # domain 0 quantization at original resolution, then pack once
+    # domain 0 quantization at original resolution, then pack once — in
+    # int8, so the entry transpose moves 4x fewer bytes (pad cells are int
+    # 0 exactly as before; the mask handles them either way)
     x_q = jnp.clip(jnp.round(x / jnp.float32(qp.a_scale[0])
                              + jnp.float32(qp.a_zero[0])), qmin, qmax)
-    x_q = jnp.pad(x_q, ((0, 0), (0, hp - H), (0, wpad - W), (0, 0)))
+    x_q = jnp.pad(x_q.astype(jnp.int8),
+                  ((0, 0), (0, hp - H), (0, wpad - W), (0, 0)))
     h = space_to_depth_nhwc(x_q, (sh, sw))
 
     packed_w = []
@@ -202,7 +224,7 @@ def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: SLike,
     for i in range(L):
         z_eff = float(qp.effective_zero(i))
         if i == 0:
-            x_qi = h
+            x_qi = h.astype(jnp.float32)
         elif i < L - 1:
             x_qi = jnp.clip(jnp.round(h + jnp.float32(qp.a_zero[i])),
                             qmin, qmax)
@@ -251,11 +273,13 @@ def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: SLike,
 
     zero_L, scale_L = qp.a_zero[L], qp.a_scale[L]
     out_q = jnp.clip(jnp.round(h + jnp.float32(zero_L)), qmin, qmax)
-    out = depth_to_space_nhwc(out_q, (sh, sw))[:, :H, :W, :]
-    y = (out - jnp.float32(zero_L)) * jnp.float32(scale_L)
-    if spec.has_pixel_shuffle:
-        y = pixel_shuffle_nhwc(y, spec.scaling_factor)
-    return y
+    # int8 through the (fused) output transpose: 4x less relayout traffic,
+    # and d2s ∘ PixelShuffle is one permutation instead of two round-trips
+    r = spec.scaling_factor if spec.has_pixel_shuffle else 1
+    img = packed_to_image_nhwc(out_q.astype(jnp.int8), (sh, sw), r)
+    img = img[:, :H * r, :W * r, :]
+    return (img.astype(jnp.float32) - jnp.float32(zero_L)) \
+        * jnp.float32(scale_L)
 
 
 def packed_fast_forward(spec: SESRSpec, qp: QuantParams, x, s: SLike = (2, 4),
@@ -358,10 +382,8 @@ def _packed_exact_impl(spec: SESRSpec, x, qp_static, s: SLike,
         if i < L - 1:
             h = jax.nn.relu(h)
 
-    out = depth_to_space_nhwc(h, (sh, sw))[:, :H, :W, :]
-    if spec.has_pixel_shuffle:
-        out = pixel_shuffle_nhwc(out, spec.scaling_factor)
-    return out
+    r = spec.scaling_factor if spec.has_pixel_shuffle else 1
+    return packed_to_image_nhwc(h, (sh, sw), r)[:, :H * r, :W * r, :]
 
 
 def packed_exact_forward(spec: SESRSpec, qp: QuantParams, x,

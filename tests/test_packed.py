@@ -112,3 +112,22 @@ def test_packed_exact_bitexact(task, corrected):
     y_ref, _ = integer_forward(spec, qp, x, corrected=corrected)
     y_pk = packed_exact_forward(spec, qp, x, corrected=corrected)
     np.testing.assert_array_equal(np.asarray(y_pk), np.asarray(y_ref))
+
+
+def test_packed_to_image_matches_composition(rng):
+    """packed_to_image_nhwc == pixel_shuffle(depth_to_space(x)) for every
+    cell/scale combination used by the deployment paths."""
+    from sesr_tpu.ops.conv import pixel_shuffle_nhwc
+    from sesr_tpu.ops.packed import packed_to_image_nhwc
+
+    for s in ((2, 2), (2, 4), (4, 4)):
+        for r in (1, 2, 4):
+            c = 3 * r * r
+            x = jnp.asarray(rng.random((2, 5, 7, s[0] * s[1] * c),
+                                       dtype=np.float32))
+            want = depth_to_space_nhwc(x, s)
+            if r > 1:
+                want = pixel_shuffle_nhwc(want, r)
+            got = packed_to_image_nhwc(x, s, r)
+            assert got.shape == want.shape
+            assert np.array_equal(np.asarray(got), np.asarray(want))

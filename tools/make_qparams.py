@@ -41,17 +41,30 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 
 from sesr_tpu.config import TASKS  # noqa: E402
-from sesr_tpu.data.datasets import SyntheticDataset  # noqa: E402
+from sesr_tpu.data.datasets import (SyntheticDataset,  # noqa: E402
+                                    RealImageDataset)
 from sesr_tpu.io.torch_import import load_reference_checkpoint  # noqa: E402
 from sesr_tpu.quant.calibrate import calibrate  # noqa: E402
 from sesr_tpu.quant.certify import certify_fast  # noqa: E402
 
 
-def calibration_images(task: str, n: int, images_dir=None):
-    """NHWC float32 calibration inputs for `task` (model-input domain)."""
+def calibration_images(task: str, n: int, images_dir=None, n_real: int = 4):
+    """NHWC float32 calibration inputs for `task` (model-input domain):
+    the synthetic natural-image pipeline plus real-photo crops
+    (data/datasets.py builtin_real_images) through the same task
+    degradation — so the shipped activation ranges have seen real pixel
+    statistics, not only procedural ones."""
     if images_dir:
         return [np.load(f) for f in sorted(glob.glob(f"{images_dir}/*.npy"))]
-    return [inp for inp, _gt in SyntheticDataset(task, n=n, hw=(96, 128))]
+    imgs = [inp for inp, _gt in SyntheticDataset(task, n=n, hw=(96, 128))]
+    if n_real:
+        try:
+            imgs += [inp for inp, _gt in
+                     RealImageDataset(task, n=n_real, hw=(96, 128))]
+        except FileNotFoundError:
+            print(f"[make_qparams] {task}: no builtin real images; "
+                  "calibrating on synthetic only")
+    return imgs
 
 
 def main():
@@ -61,6 +74,8 @@ def main():
                     help="dir of .npy NHWC calibration images "
                          "(else the synthetic natural-image pipeline)")
     ap.add_argument("--n-images", type=int, default=8)
+    ap.add_argument("--n-real", type=int, default=4,
+                    help="real-photo crops appended to the calibration set")
     ap.add_argument("--out-dir", default=os.path.join(REPO, "artifacts"))
     args = ap.parse_args()
 
@@ -68,7 +83,8 @@ def main():
     for task in args.tasks:
         spec = TASKS[task]
         params = load_reference_checkpoint(task)
-        images = calibration_images(task, args.n_images, args.images)
+        images = calibration_images(task, args.n_images, args.images,
+                                    args.n_real)
         qp = calibrate(spec, params, images, safe_zero_floor=True)
         qp = certify_fast(spec, qp, images)
         out = os.path.join(args.out_dir, f"qparams_{task}.npz")

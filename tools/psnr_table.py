@@ -24,7 +24,8 @@ import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from sesr_tpu.config import TASKS  # noqa: E402
-from sesr_tpu.data.datasets import SyntheticDataset  # noqa: E402
+from sesr_tpu.data.datasets import (SyntheticDataset,  # noqa: E402
+                                    RealImageDataset)
 from sesr_tpu.io.torch_import import load_reference_checkpoint  # noqa: E402
 from sesr_tpu.metrics import evaluate_pair  # noqa: E402
 from sesr_tpu.models.sesr import forward_float  # noqa: E402
@@ -32,10 +33,13 @@ from sesr_tpu.quant.calibrate import calibrate, fake_quant_forward  # noqa: E402
 from sesr_tpu.quant.integer import integer_forward  # noqa: E402
 
 
-def evaluate(task: str, n: int = 6, observer: str = "minmax"):
+def evaluate(task: str, n: int = 6, observer: str = "minmax",
+             data_source: str = "synthetic"):
     spec = TASKS[task]
     params = load_reference_checkpoint(task)
-    data = list(SyntheticDataset(task, n=n, hw=(96, 128)))
+    ds = (RealImageDataset if data_source == "real" else
+          SyntheticDataset)(task, n=n, hw=(96, 128))
+    data = list(ds)
     qp = calibrate(spec, params, [inp for inp, _ in data], observer=observer)
     qp_safe = calibrate(spec, params, [inp for inp, _ in data],
                         observer=observer, safe_zero_floor=True)
@@ -61,12 +65,15 @@ def main():
     ap.add_argument("--tasks", nargs="*", default=sorted(TASKS))
     ap.add_argument("--n", type=int, default=6)
     ap.add_argument("--observer", default="minmax")
+    ap.add_argument("--data", choices=("synthetic", "real"),
+                    default="synthetic",
+                    help="real = offline real-photo crops (data/datasets.py builtin_real_images)")
     args = ap.parse_args()
 
     print(f"{'task':10} {'FP32':>14} {'fake-quant':>14} {'int(ref-exact)':>14} "
           f"{'int(corrected)':>14} {'delta(corr-fp32)':>16}")
     for task in args.tasks:
-        r = evaluate(task, args.n, args.observer)
+        r = evaluate(task, args.n, args.observer, args.data)
         d = r["int_corrected"][0] - r["fp32"][0]
         print(f"{task:10} {r['fp32'][0]:8.3f}/{r['fp32'][1]:.3f} "
               f"{r['fakequant'][0]:8.3f}/{r['fakequant'][1]:.3f} "
