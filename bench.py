@@ -151,6 +151,19 @@ def main():
             "packed_2x4_b8": (8, lambda c: _packed_fast_impl(spec, c, qp,
                                                              (2, 4))),
         }
+        # the saturating task's layer-hybrid path (PE-exact on its one
+        # saturating layer, fast on the rest) vs all-PE-exact
+        nr_path = os.path.join(REPO, "artifacts", "qparams_nr.npz")
+        if os.path.exists(nr_path):
+            from sesr_tpu.quant.params import QuantParams
+            spec_nr = spec_for_task("nr")
+            qp_nr = _hashable(QuantParams.load(nr_path))
+            if qp_nr.fast_cert_layers is not None:
+                extra["nr_hybrid_2x4"] = (1, lambda c: _packed_exact_impl(
+                    spec_nr, c, qp_nr, (2, 4), True,
+                    tuple(qp_nr.fast_cert_layers)))
+            extra["nr_pe_exact_2x4"] = (1, lambda c: _packed_exact_impl(
+                spec_nr, c, qp_nr, (2, 4), True))
         try:
             from sesr_tpu.ops.pallas_packed import build_pallas_packed_forward
             fwd = build_pallas_packed_forward(spec, qp.qp, H, W, s=(2, 4),

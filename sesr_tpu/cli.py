@@ -182,23 +182,33 @@ def cmd_train(args):
 
 def cmd_infer(args):
     """Deployment inference: the channel-packed certified datapath (the
-    bench.py configuration), with optional PSNR scoring against a dataset."""
+    bench.py configuration), with optional PSNR scoring against a dataset.
+    Artifacts whose certificate refuses full fast mode (saturating tasks:
+    nr, nrdm_6) fall back to the layer-hybrid lowering automatically."""
     import jax.numpy as jnp
     from sesr_tpu.config import spec_for_task
     from sesr_tpu.metrics import evaluate_pair
-    from sesr_tpu.ops.packed import packed_fast_forward
+    from sesr_tpu.ops.packed import packed_fast_forward, packed_hybrid_forward
     from sesr_tpu.quant.params import QuantParams
 
     spec = spec_for_task(args.task)
     qp = QuantParams.load(args.qparams)
     s = tuple(int(v) for v in args.cells.split("x"))
+    if qp.fast_cert_ok:
+        mode, fwd = "fast", packed_fast_forward
+    else:
+        if qp.fast_cert_layers is None or not any(qp.fast_cert_layers):
+            raise SystemExit(
+                f"{args.task}: artifact has no usable fast certificate "
+                "(re-run tools/make_qparams.py to certify)")
+        mode, fwd = "hybrid", packed_hybrid_forward
     data = list(_dataset(args.task, args))
     tot_p = tot_s = n = 0
     for inp, gt in data:
-        y = np.asarray(packed_fast_forward(spec, qp, jnp.asarray(inp), s=s))
+        y = np.asarray(fwd(spec, qp, jnp.asarray(inp), s=s))
         p, ss = evaluate_pair(args.task, y[0], gt[0], inp[0])
         tot_p, tot_s, n = tot_p + p, tot_s + ss, n + 1
-    print(f"{args.task} packed({args.cells}) mean psnr: {tot_p/n:.4f}  "
+    print(f"{args.task} packed({args.cells}, {mode}) mean psnr: {tot_p/n:.4f}  "
           f"ssim: {tot_s/n:.4f}  ({n} images)")
 
 

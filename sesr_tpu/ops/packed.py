@@ -309,9 +309,9 @@ def packed_fast_forward(spec: SESRSpec, qp: QuantParams, x, s: SLike = (2, 4),
     return _packed_fast_impl(spec, x, _hashable(qp), _s2(s), True, halo_axis)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
 def _packed_exact_impl(spec: SESRSpec, x, qp_static, s: SLike,
-                       corrected: bool):
+                       corrected: bool, fast_layers=None):
     """PE-EXACT packed forward: the full ASIC datapath — per-PE channel
     round-robin split, zero restoration, 18-bit per-PE saturation, 20-bit
     adder, unfloored-zero fused bias (quan_func.py:298-491) — with every
@@ -324,6 +324,14 @@ def _packed_exact_impl(spec: SESRSpec, x, qp_static, s: SLike,
     c % PE == p, so masking the original HWIO kernel before pack_weight_hwio
     yields the packed kernel of exactly PE p's partial conv, and summing a
     channel subset in f32 equals the masked conv exactly.
+
+    fast_layers (static tuple of bool, or None): the LAYER-HYBRID mode.
+    Layers flagged True run the fast lowering (ONE dense conv, no per-PE
+    18-bit stage — 4x fewer matmuls); layers flagged False keep the full
+    per-PE split. Bit-identical to the all-exact path whenever every True
+    layer is certified 18-bit-saturation-free at its actual inputs
+    (quant/certify.py stamps qp.fast_cert_layers; the 20-bit adder clamp is
+    applied identically either way, so 20-bit events don't disqualify).
     """
     from sesr_tpu.quant.integer import (_pe_weight_masks, _quantize_domain_in,
                                         _requant_out)
@@ -345,8 +353,13 @@ def _packed_exact_impl(spec: SESRSpec, x, qp_static, s: SLike,
     for i in range(L):
         z_eff = qp.effective_zero(i)
         (qy_lo, qy_hi), (qx_lo, qx_hi) = packed_layer_taps(spec, i, (sh, sw))
+        if fast_layers is not None and fast_layers[i]:
+            # hybrid fast layer: one dense conv, skip the 18-bit stage
+            splits = [np.asarray(qp.w_int[i])]
+        else:
+            splits = _pe_weight_masks(np.asarray(qp.w_int[i]), hw.pe)
         pe = []
-        for w_p in _pe_weight_masks(np.asarray(qp.w_int[i]), hw.pe):
+        for w_p in splits:
             wp = pack_weight_hwio(w_p.astype(np.float32), (sh, sw))
             zsum = np.tile(w_p.sum(axis=(0, 1, 2)) * z_eff, cells)
             pe.append((jnp.asarray(wp, jnp.bfloat16),
@@ -373,7 +386,8 @@ def _packed_exact_impl(spec: SESRSpec, x, qp_static, s: SLike,
                                    q_lo, q_hi).astype(jnp.int32)
             if not corrected:
                 y_p = y_p + zsum
-            y_p = saturate(y_p, hw.pe_acc_bits)
+            if len(pe) > 1:          # per-PE 18-bit stage (exact layers)
+                y_p = saturate(y_p, hw.pe_acc_bits)
             total = y_p if total is None else total + y_p
         y = saturate(total, hw.pe_add_bits) + fused
         h, extras = _requant_out(y, i, L, qp)
@@ -398,3 +412,32 @@ def packed_exact_forward(spec: SESRSpec, qp: QuantParams, x,
 
     x = jnp.asarray(x, jnp.float32)
     return _packed_exact_impl(spec, x, _hashable(qp), _s2(s), corrected)
+
+
+def packed_hybrid_forward(spec: SESRSpec, qp: QuantParams, x,
+                          s: SLike = (2, 4)):
+    """LAYER-HYBRID packed deployment forward: the deployment path for
+    tasks the fast mode must refuse because they genuinely saturate.
+
+    Per-layer, runs the fast lowering (one dense conv) on layers the
+    certificate proves 18-bit-saturation-free, and the full per-PE
+    PE-exact split only on the saturating layers. nr and nrdm_6 saturate
+    ONLY in their last conv (measured over the calibration set), so they
+    run at near-fast speed while staying bit-identical to
+    integer_forward(..., corrected=True) — certified end-to-end per
+    calibration image by quant/certify.py, which stamps
+    qp.fast_cert_layers. Requires a stamped artifact; with all layers
+    stamped safe prefer packed_fast_forward (narrow int8 boundaries make
+    it faster still). x: NHWC float in [0, 1].
+    """
+    from sesr_tpu.quant.integer import _hashable
+
+    if getattr(qp, "fast_cert_layers", None) is None:
+        raise ValueError(
+            "packed_hybrid_forward requires per-layer certification stamps "
+            "(quant/certify.py fast_cert_layers): the fast lowering of each "
+            "flagged layer is only exact when its 18-bit saturation "
+            "freedom is proven.")
+    x = jnp.asarray(x, jnp.float32)
+    return _packed_exact_impl(spec, x, _hashable(qp), _s2(s), True,
+                              tuple(qp.fast_cert_layers))

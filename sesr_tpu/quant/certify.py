@@ -24,6 +24,15 @@ image:
 
 `certify_fast` stamps the verdict into `QuantParams.fast_cert_ok`;
 `compute="fast"` refuses an unstamped artifact at trace time.
+
+Round 2 refinement — PER-LAYER stamps (`fast_cert_layers`): obligations 1-2
+are evaluated per layer (and obligation 1 splits the counters: only 18-bit
+per-PE events disqualify — the fast lowering applies the identical 20-bit
+adder clamp). Tasks whose saturation is confined to a few layers (nr and
+nrdm_6: the last conv only) then run the LAYER-HYBRID deployment lowering
+(ops/packed.py packed_hybrid_forward) at near-fast speed, with its
+end-to-end equality to the PE-exact interpreter proven per calibration
+image as obligation 3'.
 """
 
 from __future__ import annotations
@@ -42,40 +51,72 @@ def certify_fast(spec: SESRSpec, qp: QuantParams,
                  images: Sequence[np.ndarray]) -> QuantParams:
     """Run the proof obligations over `images` (NHWC float in [0,1]).
 
-    Returns a copy of `qp` with fast_cert_ok/fast_cert_images stamped.
-    A failed obligation returns fast_cert_ok=False (and the fast path will
-    refuse the artifact); certification is evidence on the calibration
-    distribution, so the images should cover the deployment distribution.
+    Returns a copy of `qp` with fast_cert_ok / fast_cert_images /
+    fast_cert_layers stamped. fast_cert_layers[i] is True when layer i's
+    18-bit events and per-MAC strict divergence are both zero over every
+    image — the per-layer refinement that powers the LAYER-HYBRID
+    deployment path (ops/packed.py packed_hybrid_forward) for tasks whose
+    saturation is confined to a few layers (nr and nrdm_6 saturate only in
+    their last conv). 20-bit adder events do NOT disqualify a layer: the
+    fast lowering applies the identical 20-bit clamp.
+
+    A partially-certified artifact additionally has its hybrid lowering
+    proven array-equal to the PE-exact interpreter end-to-end on every
+    image (the per-layer flags are sound by induction — a fast layer fed
+    the exact path's inputs produces the exact path's outputs — and the
+    equality check makes that mechanical, not rhetorical). Certification is
+    evidence on the calibration distribution, so the images should cover
+    the deployment distribution.
     """
     from sesr_tpu.quant.integer import integer_forward, _pe_weight_masks
     from sesr_tpu.quant.strict import strict_vs_fast_divergence
 
-    # optimistically-stamped copy so the fast lowering can run during its own
-    # certification (the trace-time guard would otherwise refuse it)
+    L = qp.num_convs
+    # optimistically-stamped copy so the fast/hybrid lowerings can run during
+    # their own certification (the trace-time guard would otherwise refuse)
     qp_try = dataclasses.replace(qp, fast_cert_ok=True,
-                                 fast_cert_images=len(images))
-    ok = True
+                                 fast_cert_images=len(images),
+                                 fast_cert_layers=tuple([True] * L))
+    layer_ok = [True] * L
+    exact_outs = []
     for img in images:
         x = jnp.asarray(img, jnp.float32)
         y_exact, dumps = integer_forward(spec, qp_try, x, collect_dumps=True,
                                          corrected=True)
-        if int(np.asarray(dumps["overflow_counts"]).sum()) != 0:
-            ok = False
-            break
-        for i in range(qp.num_convs):
+        exact_outs.append(np.asarray(y_exact))
+        ovf18 = np.asarray(dumps["overflow_18"])
+        for i in range(L):
+            if ovf18[i] != 0:
+                layer_ok[i] = False
+        for i in range(L):
+            if not layer_ok[i]:
+                continue
             x_shift = (np.asarray(dumps[f"input.{i}"], np.int32)
                        - qp.effective_zero(i))
             if any(strict_vs_fast_divergence(x_shift, w_p, qp.hw) != 0
                    for w_p in _pe_weight_masks(np.asarray(qp.w_int[i]),
                                                qp.hw.pe)):
-                ok = False
+                layer_ok[i] = False
+
+    ok = all(layer_ok)
+    if ok:
+        for img, y_e in zip(images, exact_outs):
+            y_fast, _ = integer_forward(spec, qp_try, jnp.asarray(img),
+                                        corrected=True, compute="fast")
+            if not np.array_equal(y_e, np.asarray(y_fast)):
+                # should be unreachable given the per-layer obligations;
+                # demote everything rather than ship unsound stamps
+                ok, layer_ok = False, [False] * L
                 break
-        if not ok:
-            break
-        y_fast, _ = integer_forward(spec, qp_try, x, corrected=True,
-                                    compute="fast")
-        if not np.array_equal(np.asarray(y_exact), np.asarray(y_fast)):
-            ok = False
-            break
+    elif any(layer_ok):
+        from sesr_tpu.ops.packed import packed_hybrid_forward
+        qp_h = dataclasses.replace(qp_try, fast_cert_ok=False,
+                                   fast_cert_layers=tuple(layer_ok))
+        for img, y_e in zip(images, exact_outs):
+            y_h = packed_hybrid_forward(spec, qp_h, img)
+            if not np.array_equal(y_e, np.asarray(y_h)):
+                layer_ok = [False] * L
+                break
     return dataclasses.replace(qp, fast_cert_ok=ok,
-                               fast_cert_images=len(images))
+                               fast_cert_images=len(images),
+                               fast_cert_layers=tuple(layer_ok))

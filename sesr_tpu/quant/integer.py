@@ -155,11 +155,11 @@ def _integer_conv_pe(x_shift, i: int, qp: QuantParams, halo_axis=None,
         pe_add = saturate(y, hw.pe_add_bits)
         hi16 = (1 << (hw.bias_bits - 1)) - 1
         fused = jnp.asarray(np.clip(qp.bias_int[i], -hi16 - 1, hi16), jnp.int32)
-        zero_ovf = jnp.zeros((), jnp.int32)
+        zero_ovf = jnp.zeros((2,), jnp.int32)
         return pe_add[None], pe_add, pe_add + fused, zero_ovf
 
     pe_outs = []
-    overflow = jnp.zeros((), jnp.int32)
+    ovf18 = jnp.zeros((), jnp.int32)
     x_bf = x_i32.astype(jnp.bfloat16) if compute == "bf16" else None
     for p in range(hw.pe):
         if compute == "bf16":
@@ -181,20 +181,20 @@ def _integer_conv_pe(x_shift, i: int, qp: QuantParams, halo_axis=None,
         y_sat = saturate(y_p, hw.pe_acc_bits)
         # numeric sanitizer: count saturating accumulations (the reference's
         # max_overflow/min_overflow print sentinels, quan_func.py:357-361)
-        overflow = overflow + jnp.sum((y_p != y_sat).astype(jnp.int32))
+        ovf18 = ovf18 + jnp.sum((y_p != y_sat).astype(jnp.int32))
         pe_outs.append(y_sat)
     pe_out = jnp.stack(pe_outs, axis=0)                      # (PE, N, H, W, OC)
 
     pe_sum = jnp.sum(pe_out, axis=0)
     pe_add = saturate(pe_sum, hw.pe_add_bits)
-    overflow = overflow + jnp.sum((pe_sum != pe_add).astype(jnp.int32))
+    ovf20 = jnp.sum((pe_sum != pe_add).astype(jnp.int32))
     if corrected:
         hi = (1 << (hw.bias_bits - 1)) - 1
         fused = jnp.asarray(np.clip(qp.bias_int[i], -hi - 1, hi), jnp.int32)
     else:
         fused = jnp.asarray(qp.fused_bias(i), jnp.int32)     # (OC,)
     y = pe_add + fused
-    return pe_out, pe_add, y, overflow
+    return pe_out, pe_add, y, jnp.stack([ovf18, ovf20])
 
 
 def _requant_out(y_i32, i: int, L: int, qp: QuantParams):
@@ -262,8 +262,15 @@ def _integer_forward_impl(spec: SESRSpec, x, qp_static: QuantParams,
             if i == L - 1:
                 dumps[f"input.{L}"] = extras["out_int8"]
     if collect:
-        # per-layer saturation-event counts (debug-mode numeric sanitizer)
-        dumps["overflow_counts"] = jnp.stack(overflows)
+        # per-layer saturation-event counts (debug-mode numeric sanitizer);
+        # the 18/20-bit split matters for layer-hybrid certification: the
+        # fast lowering applies the SAME 20-bit adder clamp, so only
+        # 18-bit per-PE events (plus per-MAC transients, quant/strict.py)
+        # disqualify a layer from it
+        ovf = jnp.stack(overflows)                       # (L, 2)
+        dumps["overflow_counts"] = ovf.sum(axis=1)
+        dumps["overflow_18"] = ovf[:, 0]
+        dumps["overflow_20"] = ovf[:, 1]
     if spec.has_pixel_shuffle:
         h = pixel_shuffle_nhwc(h, spec.scaling_factor)
     return h, dumps

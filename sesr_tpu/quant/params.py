@@ -18,7 +18,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -96,6 +96,16 @@ class QuantParams:
     # max_overflow/min_overflow print (quan_func.py:357-361).
     fast_cert_ok: bool = False
     fast_cert_images: int = 0
+    # per-layer refinement of the certificate: layer i is fast-safe when
+    # its 18-bit per-PE saturation events AND per-MAC strict divergence
+    # are zero over the calibration set (20-bit adder events do NOT
+    # disqualify — the fast lowering applies the same 20-bit clamp).
+    # Tasks whose saturation is confined to a few layers (nr, nrdm_6:
+    # last conv only) run the layer-hybrid deployment path
+    # (ops/packed.py packed_hybrid_forward): PE-exact on unsafe layers,
+    # fast everywhere else, end-to-end array-equal to the full PE-exact
+    # path (certified per image in quant/certify.py).
+    fast_cert_layers: Optional[Tuple[bool, ...]] = None
 
     @property
     def num_convs(self) -> int:
@@ -138,6 +148,8 @@ class QuantParams:
             num_convs=self.num_convs,
             fast_cert_ok=self.fast_cert_ok,
             fast_cert_images=self.fast_cert_images,
+            fast_cert_layers=(None if self.fast_cert_layers is None
+                              else list(self.fast_cert_layers)),
         )
         np.savez(path, __meta__=json.dumps(meta), **arrays)
 
@@ -161,6 +173,10 @@ class QuantParams:
             res_requant_n=int(meta["res_requant_n"]),
             fast_cert_ok=bool(meta.get("fast_cert_ok", False)),
             fast_cert_images=int(meta.get("fast_cert_images", 0)),
+            fast_cert_layers=(None if meta.get("fast_cert_layers")
+                              is None else
+                              tuple(bool(b) for b in
+                                    meta["fast_cert_layers"])),
         )
 
 

@@ -33,9 +33,23 @@ def test_cli_infer(capsys):
     main(["infer", "--task", "sr_x2", "--qparams", QP_SR_X2,
           "--n-images", "1"])
     out = capsys.readouterr().out
-    assert "packed(2x4) mean psnr" in out
+    assert "packed(2x4, fast) mean psnr" in out
     psnr = float(out.split("psnr:")[1].split()[0])
     assert psnr > 20.0            # sanity: a real image came through
+
+
+@needs_artifact
+def test_cli_infer_hybrid_fallback(capsys):
+    """A saturating task's artifact (nr: fast_cert_ok=False, last layer
+    unsafe) runs the layer-hybrid lowering through the same command."""
+    qp_nr = os.path.join(ARTIFACTS, "qparams_nr.npz")
+    if not os.path.exists(qp_nr):
+        pytest.skip("nr artifact not built")
+    main(["infer", "--task", "nr", "--qparams", qp_nr, "--n-images", "1"])
+    out = capsys.readouterr().out
+    assert "packed(2x4, hybrid) mean psnr" in out
+    psnr = float(out.split("psnr:")[1].split()[0])
+    assert psnr > 15.0
 
 
 def test_cli_hist(tmp_path, capsys):

@@ -89,10 +89,11 @@ def main():
         qp = certify_fast(spec, qp, images)
         out = os.path.join(args.out_dir, f"qparams_{task}.npz")
         qp.save(out)
+        layers = "".join("F" if b else "x" for b in qp.fast_cert_layers)
         print(f"[make_qparams] {task}: {out} "
               f"({os.path.getsize(out)/1e3:.0f} kB, "
               f"fast_cert={'OK' if qp.fast_cert_ok else 'FAILED'} "
-              f"over {qp.fast_cert_images} images)")
+              f"layers={layers} over {qp.fast_cert_images} images)")
 
 
 if __name__ == "__main__":
