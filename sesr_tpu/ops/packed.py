@@ -309,9 +309,9 @@ def packed_fast_forward(spec: SESRSpec, qp: QuantParams, x, s: SLike = (2, 4),
     return _packed_fast_impl(spec, x, _hashable(qp), _s2(s), True, halo_axis)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6))
 def _packed_exact_impl(spec: SESRSpec, x, qp_static, s: SLike,
-                       corrected: bool, fast_layers=None):
+                       corrected: bool, fast_layers=None, halo_axis=None):
     """PE-EXACT packed forward: the full ASIC datapath — per-PE channel
     round-robin split, zero restoration, 18-bit per-PE saturation, 20-bit
     adder, unfloored-zero fused bias (quan_func.py:298-491) — with every
@@ -343,6 +343,9 @@ def _packed_exact_impl(spec: SESRSpec, x, qp_static, s: SLike,
     cells = sh * sw
 
     n, H, W, c_in = x.shape
+    if halo_axis is not None:
+        assert H % sh == 0 and W % sw == 0, (
+            "sharded packed execution needs cell-aligned local shards")
     hp, wpad = -(-H // sh) * sh, -(-W // sw) * sw
     mask = _pad_mask(spec, H, W, (sh, sw))
 
@@ -380,10 +383,16 @@ def _packed_exact_impl(spec: SESRSpec, x, qp_static, s: SLike,
             x_shift = x_shift * jnp.repeat(mask, cpl, axis=-1)[None]
 
         pe, q_lo, q_hi, fused = layer_consts[i]
+        x_c = x_shift.astype(jnp.bfloat16)
+        if halo_axis is not None:
+            from sesr_tpu.ops.halo import halo_exchange
+            assert q_lo[1] == -1 and q_hi[1] == 1, (q_lo, q_hi)
+            x_c = halo_exchange(x_c, 1, halo_axis, dim=2)
         total = None
         for (wp, zsum) in pe:
-            y_p = packed_conv_same(x_shift.astype(jnp.bfloat16), wp,
-                                   q_lo, q_hi).astype(jnp.int32)
+            y_p = packed_conv_same(x_c, wp, q_lo, q_hi,
+                                   w_valid=halo_axis is not None
+                                   ).astype(jnp.int32)
             if not corrected:
                 y_p = y_p + zsum
             if len(pe) > 1:          # per-PE 18-bit stage (exact layers)
@@ -401,21 +410,24 @@ def _packed_exact_impl(spec: SESRSpec, x, qp_static, s: SLike,
 
 
 def packed_exact_forward(spec: SESRSpec, qp: QuantParams, x,
-                         s: SLike = (2, 4), corrected: bool = False):
+                         s: SLike = (2, 4), corrected: bool = False,
+                         halo_axis=None):
     """PE-exact integer forward on the packed channel axis.
 
     Bit-identical to integer_forward(spec, qp, x, corrected=corrected)
     (the reference-exact ASIC sim when corrected=False) at channel-packed
     MXU speed; needs no fast-mode certificate. x: NHWC float in [0, 1].
+    ``halo_axis``: mesh axis name for W-sharded execution inside shard_map.
     """
     from sesr_tpu.quant.integer import _hashable
 
     x = jnp.asarray(x, jnp.float32)
-    return _packed_exact_impl(spec, x, _hashable(qp), _s2(s), corrected)
+    return _packed_exact_impl(spec, x, _hashable(qp), _s2(s), corrected,
+                              None, halo_axis)
 
 
 def packed_hybrid_forward(spec: SESRSpec, qp: QuantParams, x,
-                          s: SLike = (2, 4)):
+                          s: SLike = (2, 4), halo_axis=None):
     """LAYER-HYBRID packed deployment forward: the deployment path for
     tasks the fast mode must refuse because they genuinely saturate.
 
@@ -440,4 +452,4 @@ def packed_hybrid_forward(spec: SESRSpec, qp: QuantParams, x,
             "freedom is proven.")
     x = jnp.asarray(x, jnp.float32)
     return _packed_exact_impl(spec, x, _hashable(qp), _s2(s), True,
-                              tuple(qp.fast_cert_layers))
+                              tuple(qp.fast_cert_layers), halo_axis)

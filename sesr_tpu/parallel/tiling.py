@@ -110,6 +110,27 @@ def sharded_packed_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
     return jax.jit(inner)
 
 
+def sharded_hybrid_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
+                           s=(2, 4)):
+    """The layer-hybrid packed path (ops/packed.py packed_hybrid_forward)
+    sharded (dp=batch, sp=W): the deployment lowering for the genuinely
+    saturating tasks (nr, nrdm_6) over the device mesh — PE-exact on the
+    certificate's unsafe layers, fast elsewhere, ONE-cell W halos over ICI.
+    Bit-identical to the monolithic PE-exact interpreter
+    (tests/test_sharding.py)."""
+    from sesr_tpu.ops.packed import packed_hybrid_forward
+
+    def local_fn(x):
+        return packed_hybrid_forward(spec, qp, x, s=s, halo_axis="sp")
+
+    inner = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=P("dp", None, "sp", None),
+        out_specs=P("dp", None, "sp", None),
+    )
+    return jax.jit(inner)
+
+
 def sharded_integer_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh):
     """Build a jitted bit-exact integer forward sharded (dp=batch, sp=W).
 

@@ -273,3 +273,57 @@ def test_sharded_packed_forward_bit_exact():
     y_mono = packed_fast_forward(spec, qp, jnp.asarray(x))
     y_shard = sharded_packed_forward(spec, qp, mesh)(jnp.asarray(x))
     np.testing.assert_array_equal(np.asarray(y_shard), np.asarray(y_mono))
+
+
+def test_sharded_hybrid_forward_bit_exact():
+    """The layer-hybrid packed path for a genuinely saturating task (nr)
+    sharded over W == the monolithic PE-exact interpreter, bit-exactly."""
+    import os
+    from sesr_tpu.parallel.tiling import sharded_hybrid_forward
+    from sesr_tpu.quant.integer import integer_forward
+    from sesr_tpu.quant.params import QuantParams
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "artifacts",
+                        "qparams_nr.npz")
+    if not os.path.exists(path):
+        pytest.skip("qparams_nr.npz missing")
+    spec = spec_for_task("nr")
+    qp = QuantParams.load(path)
+    assert not qp.fast_cert_ok and qp.fast_cert_layers is not None
+    mesh = make_mesh(8, dp=2, sp=4)
+
+    rng = np.random.default_rng(31)
+    x = rng.random((2, 24, 64, 3), dtype=np.float32)
+    y_mono, _ = integer_forward(spec, qp, jnp.asarray(x), corrected=True)
+    y_shard = sharded_hybrid_forward(spec, qp, mesh)(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(y_shard), np.asarray(y_mono))
+
+
+def test_sharded_exact_packed_forward_bit_exact():
+    """The PE-exact packed path (reference-exact, corrected=False) sharded
+    over W == the monolithic interpreter, bit-exactly."""
+    import os
+    from sesr_tpu.ops.packed import packed_exact_forward
+    from sesr_tpu.quant.integer import integer_forward
+    from sesr_tpu.quant.params import QuantParams
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "artifacts",
+                        "qparams_nrdm_3.npz")
+    if not os.path.exists(path):
+        pytest.skip("qparams_nrdm_3.npz missing")
+    spec = spec_for_task("nrdm_3")
+    qp = QuantParams.load(path)
+    mesh = make_mesh(8, dp=2, sp=4)
+
+    rng = np.random.default_rng(37)
+    x = rng.random((2, 24, 64, 3), dtype=np.float32)
+    y_mono, _ = integer_forward(spec, qp, jnp.asarray(x), corrected=False)
+    f = shard_map(lambda v: packed_exact_forward(spec, qp, v, (2, 4),
+                                                 corrected=False,
+                                                 halo_axis="sp"),
+                  mesh=mesh, in_specs=P("dp", None, "sp", None),
+                  out_specs=P("dp", None, "sp", None))
+    np.testing.assert_array_equal(np.asarray(f(jnp.asarray(x))),
+                                  np.asarray(y_mono))
