@@ -31,7 +31,11 @@ import numpy as np
 
 def _dataset(task, args):
     from sesr_tpu.data.datasets import (SRFolderDataset, RawBayerDataset,
-                                        SyntheticDataset)
+                                        SyntheticDataset, RealImageDataset)
+    if args.data == "real":
+        # offline real-photo crops through the task degradation
+        # (data/datasets.py builtin_real_images)
+        return RealImageDataset(task, n=args.n_images)
     if args.data:
         if task in ("sr_x4", "sr_x2"):
             return SRFolderDataset(args.data, scale=4 if task == "sr_x4" else 2)
@@ -236,7 +240,10 @@ def main(argv=None):
     def common(p):
         p.add_argument("--task", required=True,
                        choices=["nr", "dm", "nrdm_3", "nrdm_6", "sr_x4", "sr_x2"])
-        p.add_argument("--data", default=None)
+        p.add_argument("--data", default=None,
+                       help="dataset dir (GTmod12/LRbicx or .raw tree), "
+                            "'real' for offline real-photo crops, or omit "
+                            "for the synthetic pipeline")
         p.add_argument("--checkpoint", default=None)
         p.add_argument("--n-images", type=int, default=4)
 

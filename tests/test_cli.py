@@ -74,3 +74,13 @@ def test_cli_export(tmp_path, capsys):
             "end2end"} <= streams
     for s in streams:
         assert os.listdir(tmp_path / "hex" / s)
+
+
+def test_cli_eval_float_real_data(capsys):
+    """--data real routes to the offline real-photo crops."""
+    main(["eval-float", "--task", "sr_x2", "--data", "real",
+          "--n-images", "1"])
+    out = capsys.readouterr().out
+    assert "psnr" in out
+    psnr = float(out.split("psnr:")[1].split()[0])
+    assert psnr > 20.0

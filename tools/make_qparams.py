@@ -76,6 +76,9 @@ def main():
     ap.add_argument("--n-images", type=int, default=8)
     ap.add_argument("--n-real", type=int, default=4,
                     help="real-photo crops appended to the calibration set")
+    ap.add_argument("--observer", default="minmax",
+                    choices=("minmax", "percentile", "kl"),
+                    help="activation-range observer (quant/observers.py)")
     ap.add_argument("--out-dir", default=os.path.join(REPO, "artifacts"))
     args = ap.parse_args()
 
@@ -85,7 +88,8 @@ def main():
         params = load_reference_checkpoint(task)
         images = calibration_images(task, args.n_images, args.images,
                                     args.n_real)
-        qp = calibrate(spec, params, images, safe_zero_floor=True)
+        qp = calibrate(spec, params, images, safe_zero_floor=True,
+                       observer=args.observer)
         qp = certify_fast(spec, qp, images)
         out = os.path.join(args.out_dir, f"qparams_{task}.npz")
         qp.save(out)
