@@ -200,12 +200,17 @@ def cmd_infer(args):
     s = tuple(int(v) for v in args.cells.split("x"))
     if qp.fast_cert_ok:
         mode, fwd = "fast", packed_fast_forward
-    else:
-        if qp.fast_cert_layers is None or not any(qp.fast_cert_layers):
-            raise SystemExit(
-                f"{args.task}: artifact has no usable fast certificate "
-                "(re-run tools/make_qparams.py to certify)")
+    elif qp.fast_cert_layers is not None and any(qp.fast_cert_layers):
         mode, fwd = "hybrid", packed_hybrid_forward
+    else:
+        # no usable stamps (uncertified artifact, or saturation everywhere):
+        # the certificate-free PE-exact lowering is always available
+        from sesr_tpu.ops.packed import packed_exact_forward
+
+        def fwd(spec, qp, x, s):
+            return packed_exact_forward(spec, qp, x, s, corrected=True)
+
+        mode = "pe-exact"
     data = list(_dataset(args.task, args))
     tot_p = tot_s = n = 0
     for inp, gt in data:

@@ -384,6 +384,13 @@ class RealImageDataset:
         rng.shuffle(crops)
         self.crops = crops
         self.seed = seed
+        if n > 4 * len(crops):
+            import warnings
+            warnings.warn(
+                f"RealImageDataset: {n} items requested but only "
+                f"{4 * len(crops)} distinct crop+flip variants exist; items "
+                f"beyond that repeat earlier ones exactly (for the "
+                f"noise-free tasks) or re-noise them (nr/nrdm)")
 
     def __len__(self):
         return self.n

@@ -88,8 +88,9 @@ def packed_to_image_nhwc(x, s: SLike, r: int = 1):
     from space_to_depth_nhwc, then torch PixelShuffle's (c, i, j) order,
     ops/conv.py:pixel_shuffle_nhwc) avoids materializing the intermediate
     unpacked tensor — at 1080p output that intermediate is a ~25 MB f32
-    HBM round-trip, measured at ~0.1 ms/frame of the deployment path
-    (tools/bench_probe_r2d.py). With r=1 this is exactly
+    HBM round-trip, worth ~0.06 ms/frame of the deployment path (before/
+    after bench.py runs: 603 -> 626 Mpx/s; the boundary-cost bracketing is
+    in tools/bench_probe_r2d.py). With r=1 this is exactly
     depth_to_space_nhwc."""
     sh, sw = _s2(s)
     n, hs, ws, cp = x.shape
@@ -356,7 +357,8 @@ def _packed_exact_impl(spec: SESRSpec, x, qp_static, s: SLike,
     for i in range(L):
         z_eff = qp.effective_zero(i)
         (qy_lo, qy_hi), (qx_lo, qx_hi) = packed_layer_taps(spec, i, (sh, sw))
-        if fast_layers is not None and fast_layers[i]:
+        is_fast = fast_layers is not None and fast_layers[i]
+        if is_fast:
             # hybrid fast layer: one dense conv, skip the 18-bit stage
             splits = [np.asarray(qp.w_int[i])]
         else:
@@ -372,7 +374,7 @@ def _packed_exact_impl(spec: SESRSpec, x, qp_static, s: SLike,
             fused = np.clip(np.asarray(qp.bias_int[i]), -hi - 1, hi)
         else:
             fused = qp.fused_bias(i)
-        layer_consts.append((pe, (qy_lo, qx_lo), (qy_hi, qx_hi),
+        layer_consts.append((pe, is_fast, (qy_lo, qx_lo), (qy_hi, qx_hi),
                              jnp.asarray(np.tile(fused, cells), jnp.int32)))
 
     shortcut = None
@@ -382,7 +384,7 @@ def _packed_exact_impl(spec: SESRSpec, x, qp_static, s: SLike,
             cpl = x_shift.shape[-1] // cells
             x_shift = x_shift * jnp.repeat(mask, cpl, axis=-1)[None]
 
-        pe, q_lo, q_hi, fused = layer_consts[i]
+        pe, is_fast, q_lo, q_hi, fused = layer_consts[i]
         x_c = x_shift.astype(jnp.bfloat16)
         if halo_axis is not None:
             from sesr_tpu.ops.halo import halo_exchange
@@ -395,8 +397,8 @@ def _packed_exact_impl(spec: SESRSpec, x, qp_static, s: SLike,
                                    ).astype(jnp.int32)
             if not corrected:
                 y_p = y_p + zsum
-            if len(pe) > 1:          # per-PE 18-bit stage (exact layers)
-                y_p = saturate(y_p, hw.pe_acc_bits)
+            if not is_fast:          # per-PE 18-bit stage (exact layers,
+                y_p = saturate(y_p, hw.pe_acc_bits)   # incl. pe=1 configs)
             total = y_p if total is None else total + y_p
         y = saturate(total, hw.pe_add_bits) + fused
         h, extras = _requant_out(y, i, L, qp)

@@ -112,10 +112,16 @@ def certify_fast(spec: SESRSpec, qp: QuantParams,
         from sesr_tpu.ops.packed import packed_hybrid_forward
         qp_h = dataclasses.replace(qp_try, fast_cert_ok=False,
                                    fast_cert_layers=tuple(layer_ok))
-        for img, y_e in zip(images, exact_outs):
-            y_h = packed_hybrid_forward(spec, qp_h, img)
-            if not np.array_equal(y_e, np.asarray(y_h)):
-                layer_ok = [False] * L
+        # check every cell geometry the CLI/bench expose (the packed
+        # rewrite is cell-size-exact by construction; this is the
+        # mechanical belt-and-braces over the implementation)
+        for cells in ((2, 4), (4, 4)):
+            for img, y_e in zip(images, exact_outs):
+                y_h = packed_hybrid_forward(spec, qp_h, img, cells)
+                if not np.array_equal(y_e, np.asarray(y_h)):
+                    layer_ok = [False] * L
+                    break
+            if not any(layer_ok):
                 break
     return dataclasses.replace(qp, fast_cert_ok=ok,
                                fast_cert_images=len(images),

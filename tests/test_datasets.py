@@ -210,7 +210,9 @@ def test_real_image_dataset_flip_extension():
 
     ds = RealImageDataset("sr_x2", n=60, hw=(96, 128), seed=0)
     k = len(ds.crops)
-    a, _ = ds[0]
-    b, _ = ds[k]          # same crop, flipped vertically
-    assert not np.array_equal(a, b)
-    assert np.array_equal(a, np.ascontiguousarray(b[:, ::-1])) or True
+    a_inp, a_gt = ds[0]
+    b_inp, b_gt = ds[k]   # same crop, flipped vertically (mode 1)
+    assert not np.array_equal(a_inp, b_inp)
+    # the GT is the (flipped) crop itself, so the flip relation is exact
+    # (the bicubic LR inputs only match up to resampling boundary rows)
+    np.testing.assert_array_equal(a_gt[0], np.ascontiguousarray(b_gt[0][::-1]))

@@ -201,3 +201,26 @@ def test_packed_hybrid_all_fast_equals_fast(rng):
     a = packed_hybrid_forward(spec_for_task("sr_x2"), qp, x, (2, 4))
     b = packed_fast_forward(spec_for_task("sr_x2"), qp, x, (2, 4))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_packed_exact_pe1_keeps_18bit_clamp(rng):
+    """A pe=1 HardwareConfig still applies the 18-bit accumulator clamp in
+    the packed exact path (regression: the hybrid gate briefly keyed the
+    clamp on the number of PE splits instead of the layer mode)."""
+    import dataclasses
+
+    path = os.path.join(ARTIFACTS, "qparams_nr.npz")
+    if not os.path.exists(path):
+        pytest.skip("artifact not built")
+    from sesr_tpu.ops.packed import packed_exact_forward
+
+    qp0 = QuantParams.load(path)
+    qp = dataclasses.replace(qp0, hw=dataclasses.replace(qp0.hw, pe=1),
+                             fast_cert_ok=False, fast_cert_layers=None)
+    spec = spec_for_task("nr")
+    x = np.ones((1, 32, 48, 3), np.float32)       # saturates the last conv
+    want, dumps = integer_forward(spec, qp, jnp.asarray(x), corrected=True,
+                                  collect_dumps=True)
+    assert int(np.asarray(dumps["overflow_18"]).sum()) > 0  # clamp fires
+    got = packed_exact_forward(spec, qp, x, (2, 4), corrected=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

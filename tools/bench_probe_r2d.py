@@ -9,12 +9,12 @@ epilogue runs at ~153 TFLOP/s, but the real packed path (603 Mpx/s) runs at
                  real taps) with the full epilogue but none of the
                  boundary work (no s2d/d2s, no pad/mask, no residual, no
                  quantize-in/dequant-out, no PixelShuffle)
-  no_tail        full minus the output transform (stops at the packed int8
-                 output, before d2s/dequant/PixelShuffle)
 
-full - ideal_chain = boundary cost; full - no_tail = the output-transform
-share of it (d2s -> dequant -> PixelShuffle materializes two ~25 MB f32
-tensors at 1080p).
+full - ideal_chain = total boundary cost. Measured round 2: full 0.882 ms,
+ideal_chain 0.509 ms (42% boundary). The output-transform share was then
+established by before/after bench.py runs of the fused int8
+d2s+PixelShuffle transform (603 -> 626 Mpx/s, i.e. ~0.06 ms/frame; the
+int8 entry transpose took the headline to 638).
 """
 
 from __future__ import annotations
