@@ -85,6 +85,36 @@ def multihost_integer_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
     return jax.jit(inner)
 
 
+def multihost_packed_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
+                             s=(2, 4)):
+    """The DEPLOYMENT (channel-packed) datapath at pod scale: frames over
+    (host, dp), W over sp with one-cell ICI halos. Picks the fastest sound
+    lowering the artifact's certificate allows — fast when fully
+    certified, layer-hybrid when saturation is confined to stamped layers,
+    PE-exact otherwise (always sound, never refuses)."""
+    from sesr_tpu.ops.packed import (packed_exact_forward,
+                                     packed_fast_forward,
+                                     packed_hybrid_forward)
+
+    if qp.fast_cert_ok:
+        def local_fn(x):
+            return packed_fast_forward(spec, qp, x, s=s, halo_axis="sp")
+    elif qp.fast_cert_layers is not None and any(qp.fast_cert_layers):
+        def local_fn(x):
+            return packed_hybrid_forward(spec, qp, x, s=s, halo_axis="sp")
+    else:
+        def local_fn(x):
+            return packed_exact_forward(spec, qp, x, s=s, corrected=True,
+                                        halo_axis="sp")
+
+    inner = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=P(("host", "dp"), None, "sp", None),
+        out_specs=P(("host", "dp"), None, "sp", None),
+    )
+    return jax.jit(inner)
+
+
 def frame_batch_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for a global (N, H, W, C) frame batch on a multihost mesh."""
     return NamedSharding(mesh, P(("host", "dp"), None, "sp", None))

@@ -327,3 +327,30 @@ def test_sharded_exact_packed_forward_bit_exact():
                   out_specs=P("dp", None, "sp", None))
     np.testing.assert_array_equal(np.asarray(f(jnp.asarray(x))),
                                   np.asarray(y_mono))
+
+
+@pytest.mark.parametrize("task", ["sr_x2", "nr"])
+def test_multihost_packed_forward_bit_exact(task):
+    """The packed deployment path at pod scale (frames over host x dp, W
+    over sp): fast lowering for certified artifacts (sr_x2), layer-hybrid
+    for the saturating ones (nr) — both == the monolithic path."""
+    import os
+    from sesr_tpu.parallel.multihost import (make_mesh_multihost,
+                                             multihost_packed_forward)
+    from sesr_tpu.quant.integer import integer_forward
+    from sesr_tpu.quant.params import QuantParams
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "artifacts",
+                        f"qparams_{task}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"qparams_{task}.npz missing")
+    spec = spec_for_task(task)
+    qp = QuantParams.load(path)
+    mesh = make_mesh_multihost(n_hosts=2, dp=2, sp=2)
+
+    rng = np.random.default_rng(41)
+    x = rng.random((4, 24, 64, spec.in_channels), dtype=np.float32)
+    y_mono, _ = integer_forward(spec, qp, jnp.asarray(x), corrected=True,
+                                compute="fast" if qp.fast_cert_ok else "bf16")
+    y_mh = multihost_packed_forward(spec, qp, mesh)(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(y_mh), np.asarray(y_mono))
