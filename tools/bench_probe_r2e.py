@@ -8,6 +8,12 @@ level and let the compiler fuse each slice into its dot's operand load.
 If XLA materializes the 9 shifted copies instead, HBM traffic (~150 MB
 per conv) will show up as a low rate and the idea is dead.
 
+VERDICT (bench_probe_r2f.py, interleaved A/B x4): REFUTED — the first
+run's pipe5_dot9_int8 168.7 vs pipe5_conv_bf16 144.5 was cross-run chip
+drift; interleaved medians are conv_bf16 164.3 vs dot9_int8 120.7. The
+shipped lax.conv bf16 lowering stays. Never compare lowerings across
+separate probe runs on this chip — interleave them.
+
 Variants (all on the packed deployment shape, (272, 240, 128)):
   dot9_int8        one conv as 9 shifted int8 dots, int32 accumulate
   dot9_bf16        control: same structure in bf16 (isolates int8 gain)
