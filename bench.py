@@ -29,9 +29,9 @@ enforced saturation-freedom certificate (quant/certify.py; the artifact
 refuses to run fast-mode uncertified). Round-1's unpacked fast path
 measured 78.9 Mpx/s on the same protocol; packing multiplies MXU lane
 fill ~8x for a 5.6x dense-weight FLOP inflation, and the narrow (int8)
-inter-layer stores cut HBM traffic ~4x. 2x4 is the stable configuration
-across repeated interleaved runs (556-738, median 603); 4x4 swings
-400-777 run-to-run on this tunneled chip.
+inter-layer stores cut HBM traffic ~4x. 2x4 is the fastest configuration
+by interleaved A/B (medians: 2x4 = 621, 4x2 = 587, 4x4 = 416 Mpx/s —
+cross-run comparisons on this tunneled chip drift 15-40%, see CLAUDE.md).
 
 vs_baseline: the reference's own bit-exact INT8 path (exe_mode=1 fx
 pipeline, sim.py:81-114) on this host CPU with all export flags off — its

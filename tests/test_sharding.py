@@ -354,3 +354,44 @@ def test_multihost_packed_forward_bit_exact(task):
                                 compute="fast" if qp.fast_cert_ok else "bf16")
     y_mh = multihost_packed_forward(spec, qp, mesh)(jnp.asarray(x))
     np.testing.assert_array_equal(np.asarray(y_mh), np.asarray(y_mono))
+
+
+def test_multihost_qat_train_step_matches_unsharded():
+    """Training on the (host, dp, sp) pod mesh: batch sharded over
+    host x dp (gradient psum crosses DCN once per step — the standard
+    DCN-data-parallel split multihost.py's docstring claims), W over sp.
+    Same loss and updated params as the unsharded step."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P2
+    from sesr_tpu.models.expanded import init_expanded
+    from sesr_tpu.parallel.multihost import make_mesh_multihost
+    from sesr_tpu.quant.qat import QATConfig, prepare, make_train_step
+
+    spec = spec_for_task("sr_x2")
+    cfg = QATConfig()
+    params = init_expanded(spec, jax.random.PRNGKey(0))
+    qstate = prepare(spec, cfg)
+    opt = optax.adam(1e-5)
+    opt_state = opt.init(params)
+
+    rng = np.random.default_rng(23)
+    x = rng.random((4, 16, 16, spec.in_channels), dtype=np.float32)
+    gt = rng.random((4, 32, 32, spec.out_channels), dtype=np.float32)
+
+    step_mono = jax.jit(make_train_step(spec, cfg, opt))
+    p1, q1, o1, loss_mono = step_mono(params, qstate, opt_state, (x, gt))
+
+    mesh = make_mesh_multihost(n_hosts=2, dp=2, sp=2)
+    repl = NamedSharding(mesh, P2())
+    data_sh = NamedSharding(mesh, P2(("host", "dp"), None, "sp", None))
+    step_sh = jax.jit(make_train_step(spec, cfg, opt),
+                      in_shardings=(repl, repl, repl, (data_sh, data_sh)),
+                      out_shardings=(repl, repl, repl, repl))
+    p2, q2, o2, loss_sh = step_sh(params, qstate, opt_state,
+                                  (jnp.asarray(x), jnp.asarray(gt)))
+
+    np.testing.assert_allclose(float(loss_sh), float(loss_mono),
+                               rtol=1e-6, atol=1e-8)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
