@@ -125,13 +125,13 @@ def main():
         return jax.device_put(jnp.asarray(
             rng.random((batch, H, W, spec.in_channels), dtype=np.float32)))
 
-    # headline = median of 3 repeated K-difference measurements (single
+    # headline = median of 5 repeated K-difference measurements (single
     # measurements on this tunneled chip swing ~+-15%; compile and the
     # warmup stall are paid once, so repeats are cheap)
     import statistics
     x1 = inp()
     samples = [measure(lambda c: _packed_fast_impl(spec, c, qp, (2, 4)),
-                       x1, spec) for _ in range(3)]
+                       x1, spec) for _ in range(5)]
     mpxs = statistics.median(samples)
     log(f"bench: packed(2x4) deployment path: "
         f"{[round(s, 1) for s in samples]} -> median {mpxs:.1f} Mpx/s")
@@ -151,6 +151,19 @@ def main():
             "packed_2x4_b8": (8, lambda c: _packed_fast_impl(spec, c, qp,
                                                              (2, 4))),
         }
+        # resolution scaling: full-HD input -> 4K output, same path
+        # (measure() normalizes by the headline H*W, so rescale)
+        x_hd = jax.device_put(jnp.asarray(
+            rng.random((1, 1080, 1920, spec.in_channels), dtype=np.float32)))
+        try:
+            vals = [measure(lambda c: _packed_fast_impl(spec, c, qp, (2, 4)),
+                            x_hd, spec) * (1080 * 1920) / (H * W)
+                    for _ in range(3)]
+            log(f"bench: packed_2x4_1080p_in: "
+                f"{statistics.median(vals):.1f} Mpx/s "
+                f"({[round(v, 1) for v in vals]})")
+        except Exception as e:
+            log(f"bench: packed_2x4_1080p_in: FAILED {str(e)[:120]}")
         # the saturating task's layer-hybrid path (PE-exact on its one
         # saturating layer, fast on the rest) vs all-PE-exact
         nr_path = os.path.join(REPO, "artifacts", "qparams_nr.npz")
