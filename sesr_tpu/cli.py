@@ -192,25 +192,13 @@ def cmd_infer(args):
     import jax.numpy as jnp
     from sesr_tpu.config import spec_for_task
     from sesr_tpu.metrics import evaluate_pair
-    from sesr_tpu.ops.packed import packed_fast_forward, packed_hybrid_forward
+    from sesr_tpu.ops.packed import select_packed_forward
     from sesr_tpu.quant.params import QuantParams
 
     spec = spec_for_task(args.task)
     qp = QuantParams.load(args.qparams)
     s = tuple(int(v) for v in args.cells.split("x"))
-    if qp.fast_cert_ok:
-        mode, fwd = "fast", packed_fast_forward
-    elif qp.fast_cert_layers is not None and any(qp.fast_cert_layers):
-        mode, fwd = "hybrid", packed_hybrid_forward
-    else:
-        # no usable stamps (uncertified artifact, or saturation everywhere):
-        # the certificate-free PE-exact lowering is always available
-        from sesr_tpu.ops.packed import packed_exact_forward
-
-        def fwd(spec, qp, x, s):
-            return packed_exact_forward(spec, qp, x, s, corrected=True)
-
-        mode = "pe-exact"
+    mode, fwd = select_packed_forward(qp)
     data = list(_dataset(args.task, args))
     tot_p = tot_s = n = 0
     for inp, gt in data:

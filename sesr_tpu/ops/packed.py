@@ -455,3 +455,24 @@ def packed_hybrid_forward(spec: SESRSpec, qp: QuantParams, x,
     x = jnp.asarray(x, jnp.float32)
     return _packed_exact_impl(spec, x, _hashable(qp), _s2(s), True,
                               tuple(qp.fast_cert_layers), halo_axis)
+
+
+def select_packed_forward(qp: QuantParams):
+    """(mode, fn): the fastest certificate-SOUND packed lowering for this
+    artifact — "fast" when fully certified, "hybrid" when saturation is
+    confined to stamped-unsafe layers, "pe-exact" otherwise (always sound,
+    never refuses). All three fns share the signature
+    fn(spec, qp, x, s=(2, 4), halo_axis=None). Single decision point for
+    the CLI, the multihost builder, and anything else that serves
+    arbitrary artifacts."""
+    if getattr(qp, "fast_cert_ok", False):
+        return "fast", packed_fast_forward
+    layers = getattr(qp, "fast_cert_layers", None)
+    if layers is not None and any(layers):
+        return "hybrid", packed_hybrid_forward
+
+    def exact(spec, qp, x, s=(2, 4), halo_axis=None):
+        return packed_exact_forward(spec, qp, x, s, corrected=True,
+                                    halo_axis=halo_axis)
+
+    return "pe-exact", exact

@@ -92,20 +92,12 @@ def multihost_packed_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
     lowering the artifact's certificate allows — fast when fully
     certified, layer-hybrid when saturation is confined to stamped layers,
     PE-exact otherwise (always sound, never refuses)."""
-    from sesr_tpu.ops.packed import (packed_exact_forward,
-                                     packed_fast_forward,
-                                     packed_hybrid_forward)
+    from sesr_tpu.ops.packed import select_packed_forward
 
-    if qp.fast_cert_ok:
-        def local_fn(x):
-            return packed_fast_forward(spec, qp, x, s=s, halo_axis="sp")
-    elif qp.fast_cert_layers is not None and any(qp.fast_cert_layers):
-        def local_fn(x):
-            return packed_hybrid_forward(spec, qp, x, s=s, halo_axis="sp")
-    else:
-        def local_fn(x):
-            return packed_exact_forward(spec, qp, x, s=s, corrected=True,
-                                        halo_axis="sp")
+    _mode, fwd = select_packed_forward(qp)
+
+    def local_fn(x):
+        return fwd(spec, qp, x, s=s, halo_axis="sp")
 
     inner = shard_map(
         local_fn, mesh=mesh,
