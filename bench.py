@@ -136,6 +136,30 @@ def main():
     log(f"bench: packed(2x4) deployment path: "
         f"{[round(s, 1) for s in samples]} -> median {mpxs:.1f} Mpx/s")
 
+    if "--per-task" in sys.argv:
+        # every task through its certificate-selected deployment lowering
+        # (fast for dm/nrdm_3/sr_x2/sr_x4, layer-hybrid for nr/nrdm_6)
+        from sesr_tpu.ops.packed import select_packed_forward
+        from sesr_tpu.quant.params import QuantParams
+        for task in ("sr_x2", "sr_x4", "nrdm_3", "nrdm_6", "nr", "dm"):
+            path = os.path.join(REPO, "artifacts", f"qparams_{task}.npz")
+            if not os.path.exists(path):
+                log(f"bench: {task}: no artifact, skipped")
+                continue
+            sp_t = spec_for_task(task)
+            qp_t = QuantParams.load(path)
+            mode, fwd = select_packed_forward(qp_t)
+            x_t = jax.device_put(jnp.asarray(rng.random(
+                (1, H, W, sp_t.in_channels), dtype=np.float32)))
+            try:
+                vals = [measure(lambda c: fwd(sp_t, qp_t, c, (2, 4)),
+                                x_t, sp_t) for _ in range(3)]
+                log(f"bench: task {task} ({mode}): "
+                    f"{statistics.median(vals):.1f} Mpx/s "
+                    f"({[round(v, 1) for v in vals]})")
+            except Exception as e:
+                log(f"bench: task {task}: FAILED {str(e)[:120]}")
+
     if all_paths:
         extra = {
             "fast_unpacked_b1": (1, lambda c: _integer_forward_impl(
