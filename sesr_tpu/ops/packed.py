@@ -363,12 +363,29 @@ def _packed_exact_impl(spec: SESRSpec, x, qp_static, s: SLike,
             splits = [np.asarray(qp.w_int[i])]
         else:
             splits = _pe_weight_masks(np.asarray(qp.w_int[i]), hw.pe)
-        pe = []
-        for w_p in splits:
-            wp = pack_weight_hwio(w_p.astype(np.float32), (sh, sw))
-            zsum = np.tile(w_p.sum(axis=(0, 1, 2)) * z_eff, cells)
-            pe.append((jnp.asarray(wp, jnp.bfloat16),
-                       jnp.asarray(zsum, jnp.int32)))
+        # Exact layers whose per-PE packed OC underfills the MXU's 128
+        # output lanes (nr/nrdm_6 last convs: Cp_out=24 -> 19% fill) run as
+        # ONE conv with the PE kernels concatenated along OC
+        # ([PE0|PE1|...]) and the partial sums recovered by channel
+        # slicing — identical values at ~4x the lane fill (measured: nr
+        # hybrid 416 -> 543 Mpx/s). Full-width layers (Cp_out >= 128) keep
+        # the per-PE conv loop: concatenating them materializes a 4x-wider
+        # int32 intermediate (~133 MB at 540x960) that XLA cannot fuse
+        # into the accumulate, measured 30% SLOWER.
+        packed_splits = [pack_weight_hwio(w_p.astype(np.float32), (sh, sw))
+                         for w_p in splits]
+        zsums = [np.tile(w_p.sum(axis=(0, 1, 2)) * z_eff, cells)
+                 for w_p in splits]
+        cp_out = packed_splits[0].shape[3]
+        if len(splits) > 1 and cp_out * len(splits) <= 128:
+            pe = ("cat", len(splits),
+                  jnp.asarray(np.concatenate(packed_splits, axis=3),
+                              jnp.bfloat16),
+                  jnp.asarray(np.concatenate(zsums), jnp.int32))
+        else:
+            pe = ("loop", [(jnp.asarray(w, jnp.bfloat16),
+                            jnp.asarray(z, jnp.int32))
+                           for w, z in zip(packed_splits, zsums)])
         if corrected:
             hi = (1 << (hw.bias_bits - 1)) - 1
             fused = np.clip(np.asarray(qp.bias_int[i]), -hi - 1, hi)
@@ -390,16 +407,28 @@ def _packed_exact_impl(spec: SESRSpec, x, qp_static, s: SLike,
             from sesr_tpu.ops.halo import halo_exchange
             assert q_lo[1] == -1 and q_hi[1] == 1, (q_lo, q_hi)
             x_c = halo_exchange(x_c, 1, halo_axis, dim=2)
-        total = None
-        for (wp, zsum) in pe:
-            y_p = packed_conv_same(x_c, wp, q_lo, q_hi,
-                                   w_valid=halo_axis is not None
-                                   ).astype(jnp.int32)
+        if pe[0] == "cat":
+            _, n_pe, wp_cat, zsum_cat = pe
+            y_all = packed_conv_same(x_c, wp_cat, q_lo, q_hi,
+                                     w_valid=halo_axis is not None
+                                     ).astype(jnp.int32)
             if not corrected:
-                y_p = y_p + zsum
-            if not is_fast:          # per-PE 18-bit stage (exact layers,
-                y_p = saturate(y_p, hw.pe_acc_bits)   # incl. pe=1 configs)
-            total = y_p if total is None else total + y_p
+                y_all = y_all + zsum_cat
+            if not is_fast:          # per-PE 18-bit stage
+                y_all = saturate(y_all, hw.pe_acc_bits)
+            co = y_all.shape[-1] // n_pe
+            total = sum(y_all[..., p * co:(p + 1) * co] for p in range(n_pe))
+        else:
+            total = None
+            for (wp, zsum) in pe[1]:
+                y_p = packed_conv_same(x_c, wp, q_lo, q_hi,
+                                       w_valid=halo_axis is not None
+                                       ).astype(jnp.int32)
+                if not corrected:
+                    y_p = y_p + zsum
+                if not is_fast:      # per-PE 18-bit stage (exact layers,
+                    y_p = saturate(y_p, hw.pe_acc_bits)  # incl. pe=1)
+                total = y_p if total is None else total + y_p
         y = saturate(total, hw.pe_add_bits) + fused
         h, extras = _requant_out(y, i, L, qp)
         if i == 0:
