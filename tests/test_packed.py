@@ -224,3 +224,28 @@ def test_packed_exact_pe1_keeps_18bit_clamp(rng):
     assert int(np.asarray(dumps["overflow_18"]).sum()) > 0  # clamp fires
     got = packed_exact_forward(spec, qp, x, (2, 4), corrected=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_select_packed_forward_modes():
+    """Certificate-driven lowering selection: fast / hybrid / pe-exact."""
+    import dataclasses
+    from sesr_tpu.ops.packed import (select_packed_forward,
+                                     packed_fast_forward,
+                                     packed_hybrid_forward)
+
+    p_ok = os.path.join(ARTIFACTS, "qparams_sr_x2.npz")
+    p_nr = os.path.join(ARTIFACTS, "qparams_nr.npz")
+    if not (os.path.exists(p_ok) and os.path.exists(p_nr)):
+        pytest.skip("artifacts not built")
+    qp_ok, qp_nr = QuantParams.load(p_ok), QuantParams.load(p_nr)
+    assert select_packed_forward(qp_ok) == ("fast", packed_fast_forward)
+    assert select_packed_forward(qp_nr) == ("hybrid", packed_hybrid_forward)
+    qp_none = dataclasses.replace(qp_nr, fast_cert_layers=None)
+    mode, fwd = select_packed_forward(qp_none)
+    assert mode == "pe-exact"
+    # the pe-exact fallback actually runs and matches the interpreter
+    x = np.zeros((1, 8, 16, 3), np.float32)
+    want, _ = integer_forward(spec_for_task("nr"), qp_none, jnp.asarray(x),
+                              corrected=True)
+    got = fwd(spec_for_task("nr"), qp_none, x, (2, 4))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
