@@ -2,8 +2,9 @@
 
 Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"};
 progress goes to stderr. `--all-paths` additionally measures the
-alternative lowerings (unpacked fast, 4x4 cells, batch 4/8, fused Pallas)
-and prints them to stderr.
+alternative lowerings (unpacked fast, 4x4 cells, batch 4/8, 1080p input,
+fused Pallas, nr hybrid/PE-exact) and `--per-task` measures every task
+through its certificate-selected lowering — both print to stderr only.
 
 Measurement protocol (hard-won; see CLAUDE.md "Environment gotchas"):
 - On this environment's tunneled TPU backend, jax.block_until_ready returns
@@ -72,7 +73,8 @@ def _get_qparams():
 
 
 def measure(fn, x, spec):
-    """K-difference Mpx/s of one frame-batch step fn(x) -> y."""
+    """K-difference Mpx/s (of INPUT pixels, x's actual shape) of one
+    frame-batch step fn(x) -> y."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -96,7 +98,7 @@ def measure(fn, x, spec):
         _ = float(jnp.sum(y[:1, :2, 0, 0]))
         times[K] = time.perf_counter() - t0
     per_step = (times[K_LONG] - times[K_SHORT]) / (K_LONG - K_SHORT)
-    return x.shape[0] * H * W / per_step / 1e6
+    return x.shape[0] * x.shape[1] * x.shape[2] / per_step / 1e6
 
 
 def main():
@@ -142,6 +144,11 @@ def main():
         from sesr_tpu.ops.packed import select_packed_forward
         from sesr_tpu.quant.params import QuantParams
         for task in ("sr_x2", "sr_x4", "nrdm_3", "nrdm_6", "nr", "dm"):
+            if task == TASK:
+                # identical program to the headline just measured
+                log(f"bench: task {task} (fast): {mpxs:.1f} Mpx/s "
+                    f"(= headline median)")
+                continue
             path = os.path.join(REPO, "artifacts", f"qparams_{task}.npz")
             if not os.path.exists(path):
                 log(f"bench: {task}: no artifact, skipped")
@@ -176,13 +183,11 @@ def main():
                                                              (2, 4))),
         }
         # resolution scaling: full-HD input -> 4K output, same path
-        # (measure() normalizes by the headline H*W, so rescale)
         x_hd = jax.device_put(jnp.asarray(
             rng.random((1, 1080, 1920, spec.in_channels), dtype=np.float32)))
         try:
             vals = [measure(lambda c: _packed_fast_impl(spec, c, qp, (2, 4)),
-                            x_hd, spec) * (1080 * 1920) / (H * W)
-                    for _ in range(3)]
+                            x_hd, spec) for _ in range(3)]
             log(f"bench: packed_2x4_1080p_in: "
                 f"{statistics.median(vals):.1f} Mpx/s "
                 f"({[round(v, 1) for v in vals]})")

@@ -414,8 +414,9 @@ def _packed_exact_impl(spec: SESRSpec, x, qp_static, s: SLike,
                                      ).astype(jnp.int32)
             if not corrected:
                 y_all = y_all + zsum_cat
-            if not is_fast:          # per-PE 18-bit stage
-                y_all = saturate(y_all, hw.pe_acc_bits)
+            # cat is only selected for multi-split (exact) layers, so the
+            # per-PE 18-bit stage always applies here
+            y_all = saturate(y_all, hw.pe_acc_bits)
             co = y_all.shape[-1] // n_pe
             total = sum(y_all[..., p * co:(p + 1) * co] for p in range(n_pe))
         else:

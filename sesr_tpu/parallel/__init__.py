@@ -3,6 +3,7 @@ from sesr_tpu.parallel.tiling import (
     sharded_integer_forward_2d, sharded_float_forward,
     sharded_float_forward_2d, sharded_calibrate,
     sharded_packed_forward, sharded_hybrid_forward,
+    sharded_deployment_forward,
 )
 from sesr_tpu.parallel.multihost import (
     make_mesh_multihost, multihost_integer_forward,

@@ -90,45 +90,57 @@ def sharded_float_forward_2d(spec: SESRSpec, params: CollapsedParams,
     return jax.jit(inner)
 
 
-def sharded_packed_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
-                           s=(2, 4)):
-    """The channel-packed deployment datapath sharded (dp=batch, sp=W):
-    each layer's packed conv exchanges a ONE-cell halo over sp (vs k//2
-    pixels unpacked — packing also shrinks the collective payload per
-    layer). Requires W_local % s_w == 0 per shard; bit-identical to the
-    monolithic packed path (tests/test_sharding.py)."""
-    from sesr_tpu.ops.packed import packed_fast_forward
-
-    def local_fn(x):
-        return packed_fast_forward(spec, qp, x, s=s, halo_axis="sp")
-
+def _shard_dp_sp(mesh: Mesh, local_fn):
+    """jit(shard_map(local_fn)) over the (dp=batch, sp=W) layout shared by
+    every per-frame forward in this module."""
     inner = shard_map(
         local_fn, mesh=mesh,
         in_specs=P("dp", None, "sp", None),
         out_specs=P("dp", None, "sp", None),
     )
     return jax.jit(inner)
+
+
+def _packed_local_fn(spec: SESRSpec, qp: QuantParams, s, fwd):
+    def local_fn(x):
+        return fwd(spec, qp, x, s=s, halo_axis="sp")
+    return local_fn
+
+
+def sharded_deployment_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
+                               s=(2, 4)):
+    """The channel-packed deployment datapath sharded (dp=batch, sp=W),
+    through whatever lowering the artifact's certificate allows (fast /
+    layer-hybrid / PE-exact — ops/packed.py select_packed_forward), with
+    each layer's packed conv exchanging a ONE-cell W halo over ICI (vs
+    k//2 pixels unpacked — packing also shrinks the collective payload).
+    Requires W_local % s_w == 0 per shard; bit-identical to the monolithic
+    path (tests/test_sharding.py)."""
+    from sesr_tpu.ops.packed import select_packed_forward
+
+    _mode, fwd = select_packed_forward(qp)
+    return _shard_dp_sp(mesh, _packed_local_fn(spec, qp, s, fwd))
+
+
+def sharded_packed_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
+                           s=(2, 4)):
+    """sharded_deployment_forward pinned to the FAST lowering (refuses
+    uncertified artifacts, like packed_fast_forward)."""
+    from sesr_tpu.ops.packed import packed_fast_forward
+
+    return _shard_dp_sp(mesh,
+                        _packed_local_fn(spec, qp, s, packed_fast_forward))
 
 
 def sharded_hybrid_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
                            s=(2, 4)):
-    """The layer-hybrid packed path (ops/packed.py packed_hybrid_forward)
-    sharded (dp=batch, sp=W): the deployment lowering for the genuinely
-    saturating tasks (nr, nrdm_6) over the device mesh — PE-exact on the
-    certificate's unsafe layers, fast elsewhere, ONE-cell W halos over ICI.
-    Bit-identical to the monolithic PE-exact interpreter
-    (tests/test_sharding.py)."""
+    """sharded_deployment_forward pinned to the LAYER-HYBRID lowering (the
+    saturating tasks nr/nrdm_6: PE-exact on the certificate's unsafe
+    layers, fast elsewhere; requires per-layer stamps)."""
     from sesr_tpu.ops.packed import packed_hybrid_forward
 
-    def local_fn(x):
-        return packed_hybrid_forward(spec, qp, x, s=s, halo_axis="sp")
-
-    inner = shard_map(
-        local_fn, mesh=mesh,
-        in_specs=P("dp", None, "sp", None),
-        out_specs=P("dp", None, "sp", None),
-    )
-    return jax.jit(inner)
+    return _shard_dp_sp(mesh,
+                        _packed_local_fn(spec, qp, s, packed_hybrid_forward))
 
 
 def sharded_integer_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh):

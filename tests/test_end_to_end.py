@@ -5,8 +5,6 @@ test.py calibration -> sim.py integer path -> deployment) as ONE
 uninterrupted in-framework flow, something the reference can only do via
 five hand-sequenced scripts and an output_pt/ file tree."""
 
-import dataclasses
-
 import numpy as np
 import pytest
 import jax

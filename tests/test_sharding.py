@@ -395,3 +395,26 @@ def test_multihost_qat_train_step_matches_unsharded():
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_deployment_forward_selects_by_certificate():
+    """One builder for any artifact: fast for certified (sr_x2), hybrid for
+    partially-certified (nr) — both == monolithic."""
+    import os
+    from sesr_tpu.parallel.tiling import sharded_deployment_forward
+    from sesr_tpu.quant.integer import integer_forward
+    from sesr_tpu.quant.params import QuantParams
+
+    mesh = make_mesh(8, dp=2, sp=4)
+    rng = np.random.default_rng(43)
+    for task in ("sr_x2", "nr"):
+        path = os.path.join(os.path.dirname(__file__), os.pardir,
+                            "artifacts", f"qparams_{task}.npz")
+        if not os.path.exists(path):
+            pytest.skip(f"qparams_{task}.npz missing")
+        spec = spec_for_task(task)
+        qp = QuantParams.load(path)
+        x = rng.random((2, 24, 64, 3), dtype=np.float32)
+        want, _ = integer_forward(spec, qp, jnp.asarray(x), corrected=True)
+        got = sharded_deployment_forward(spec, qp, mesh)(jnp.asarray(x))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
