@@ -113,14 +113,24 @@ def frame_batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def stream_frames(spec: SESRSpec, qp: QuantParams, mesh: Mesh, frames,
-                  **fwd_kwargs):
+                  lowering: str = "interpreter", **fwd_kwargs):
     """Continuous frame batching: group the frame iterator into global
     batches of host*dp frames and run them through the multihost forward.
     Yields output batches. On a real pod each process only materializes its
     local shard (jax.make_array_from_process_local_data under the hood via
     device_put to the global sharding); single-process, device_put shards
-    the full array."""
-    fwd = multihost_integer_forward(spec, qp, mesh, **fwd_kwargs)
+    the full array.
+
+    lowering: "interpreter" (the bit-exact reference-semantics path,
+    default — also accepts integer_forward kwargs like corrected=True) or
+    "deployment" (the channel-packed MXU datapath via
+    multihost_packed_forward, certificate-selected fast/hybrid/PE-exact;
+    fwd_kwargs then takes `s=` cells only). Requires cell-aligned local W
+    shards in deployment mode."""
+    if lowering == "deployment":
+        fwd = multihost_packed_forward(spec, qp, mesh, **fwd_kwargs)
+    else:
+        fwd = multihost_integer_forward(spec, qp, mesh, **fwd_kwargs)
     sh = frame_batch_sharding(mesh)
     n = mesh.shape["host"] * mesh.shape["dp"]
     buf = []

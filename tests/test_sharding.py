@@ -418,3 +418,30 @@ def test_sharded_deployment_forward_selects_by_certificate():
         want, _ = integer_forward(spec, qp, jnp.asarray(x), corrected=True)
         got = sharded_deployment_forward(spec, qp, mesh)(jnp.asarray(x))
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_multihost_stream_frames_deployment_lowering():
+    """Streaming through the channel-packed deployment path (certificate-
+    selected): same grouping semantics, outputs == the monolithic packed
+    path."""
+    import os
+    from sesr_tpu.ops.packed import packed_fast_forward
+    from sesr_tpu.parallel.multihost import make_mesh_multihost, stream_frames
+    from sesr_tpu.quant.params import QuantParams
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "artifacts",
+                        "qparams_sr_x2.npz")
+    if not os.path.exists(path):
+        pytest.skip("qparams_sr_x2.npz missing")
+    spec = spec_for_task("sr_x2")
+    qp = QuantParams.load(path)
+    mesh = make_mesh_multihost(n_hosts=2, dp=2, sp=2)
+
+    rng = np.random.default_rng(47)
+    frames = [rng.random((1, 16, 32, 3), dtype=np.float32) for _ in range(5)]
+    outs = list(stream_frames(spec, qp, mesh, frames, lowering="deployment"))
+    assert [o.shape[0] for o in outs] == [4, 1]
+    y_all = np.concatenate([np.asarray(o) for o in outs], axis=0)
+    y_mono = packed_fast_forward(spec, qp,
+                                 jnp.asarray(np.concatenate(frames, axis=0)))
+    np.testing.assert_array_equal(y_all, np.asarray(y_mono))
