@@ -84,7 +84,11 @@ def measure(fn, x, spec):
         def f(x):
             def body(i, c):
                 y = fn(c)
-                return c + 1e-12 * jnp.mean(y)
+                # consumer must be FULL-TENSOR (a strided slice forces a
+                # pathological relayout, ~5x under-report) and NONLINEAR in
+                # y (XLA rewrites reduce(dot) into dot-of-reduces, eliding
+                # the op under test entirely — see CLAUDE.md)
+                return c + 1e-12 * jnp.mean(y * y)
             return lax.fori_loop(0, K, body, x)
         return f
 

@@ -192,13 +192,21 @@ def cmd_infer(args):
     import jax.numpy as jnp
     from sesr_tpu.config import spec_for_task
     from sesr_tpu.metrics import evaluate_pair
-    from sesr_tpu.ops.packed import select_packed_forward
+    from sesr_tpu.ops.packed import select_packed_forward, CERTIFIED_CELLS
     from sesr_tpu.quant.params import QuantParams
 
     spec = spec_for_task(args.task)
     qp = QuantParams.load(args.qparams)
     s = tuple(int(v) for v in args.cells.split("x"))
     mode, fwd = select_packed_forward(qp)
+    if mode != "pe-exact" and s not in CERTIFIED_CELLS:
+        # the fast/hybrid lowerings are belt-and-braces verified on exactly
+        # this geometry set at certification time (quant/certify.py); the
+        # PE-exact lowering needs no certificate and accepts any cells
+        raise SystemExit(
+            f"--cells {args.cells} is outside the certified geometry set "
+            f"{['x'.join(map(str, c)) for c in CERTIFIED_CELLS]} for the "
+            f"'{mode}' lowering; use one of those or a PE-exact artifact")
     data = list(_dataset(args.task, args))
     tot_p = tot_s = n = 0
     for inp, gt in data:

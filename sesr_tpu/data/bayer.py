@@ -44,6 +44,31 @@ def expand_bayer_plane(raw_hw: np.ndarray) -> np.ndarray:
     return out
 
 
+def expand_bayer_plane_dense(raw_hw: np.ndarray) -> np.ndarray:
+    """Single Bayer plane (H, W) -> DENSE 3-channel (3, H, W) — the TRAIN
+    loader's packing (self_dataset.py:150-166), distinct from the test
+    loader's sparse one: red and blue are replicated into all 4 sites of
+    their 2x2 cell, and each green is replicated along its row (G_r fills
+    row-0 sites, G_b fills row-1 sites)."""
+    out = np.zeros((3,) + raw_hw.shape, np.float32)
+    r = raw_hw[0::2, 0::2]
+    out[0, 0::2, 0::2] = r
+    out[0, 0::2, 1::2] = r
+    out[0, 1::2, 0::2] = r
+    out[0, 1::2, 1::2] = r
+    gr, gb = raw_hw[0::2, 1::2], raw_hw[1::2, 0::2]
+    out[1, 0::2, 1::2] = gr
+    out[1, 0::2, 0::2] = gr
+    out[1, 1::2, 0::2] = gb
+    out[1, 1::2, 1::2] = gb
+    b = raw_hw[1::2, 1::2]
+    out[2, 1::2, 1::2] = b
+    out[2, 0::2, 1::2] = b
+    out[2, 1::2, 0::2] = b
+    out[2, 0::2, 0::2] = b
+    return out
+
+
 def random_noise_levels(rng: np.random.Generator):
     """Shot/read noise levels from a log-log linear distribution
     (self_dataset.py:59-70)."""

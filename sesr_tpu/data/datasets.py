@@ -17,13 +17,18 @@ from typing import Iterator, List, Optional, Tuple
 import numpy as np
 
 from sesr_tpu.data.bayer import (
-    augment_8way, expand_bayer_plane, random_noise_levels, add_noise,
-    mosaic, four2three, rggb_to_linrgb,
+    augment_8way, expand_bayer_plane, expand_bayer_plane_dense,
+    random_noise_levels, add_noise, mosaic, four2three, rggb_to_linrgb,
 )
 
 
-def _imread_rgb(path: str) -> np.ndarray:
-    """Read a PNG/JPG as HWC RGB float in [0,1]."""
+def _imread_rgb(path: str, bit_depth: Optional[int] = None) -> np.ndarray:
+    """Read a PNG/JPG as HWC RGB float in [0,1]. With ``bit_depth`` given,
+    normalize by 2^bit_depth - 1 UNCONDITIONALLY (the reference divides its
+    12-bit PNG ground truth by 2^12-1 regardless of content,
+    self_dataset.py:136,243 — a max-based heuristic would scale a dark
+    12-bit image ~16x too bright); otherwise infer 8- vs 12-bit from the
+    stored integer range."""
     try:
         import cv2
         img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
@@ -36,6 +41,8 @@ def _imread_rgb(path: str) -> np.ndarray:
         from PIL import Image
         img = np.asarray(Image.open(path).convert("RGB"))
     img = img.astype(np.float32)
+    if bit_depth is not None:
+        return img / float(2 ** bit_depth - 1)
     return img / (4095.0 if img.max() > 255 else 255.0)
 
 
@@ -103,7 +110,7 @@ class RawBayerDataset:
             inp, _ = add_noise(inp, shot, read, self.rng)
         png = os.path.join(self.png_dir or os.path.dirname(path),
                            base.split("_")[0] + ".png")
-        gt = _imread_rgb(png).transpose(2, 0, 1)
+        gt = _imread_rgb(png, bit_depth=12).transpose(2, 0, 1)
         inp = np.clip(inp, 0, 1).transpose(1, 2, 0)
         gt = np.clip(gt, 0, 1).transpose(1, 2, 0)
         return inp[None].astype(np.float32), gt[None].astype(np.float32)
@@ -122,9 +129,12 @@ class TrainBayerDataset:
     Items are (inp, gt, variance), all NHWC float32 — the reference's
     3-tuple contract (its train.py:66 discards the variance with
     ``inps, gts, _ = data[:]``, but the loader produces it, so this one
-    does too). Reference quirk replicated: the variance is computed from
+    does too). Reference quirks replicated: the variance is computed from
     the NOISY input (self_dataset.py:169-171 reassigns `inp` before the
-    `variance =` line), not the clean one.
+    `variance =` line), not the clean one; and the train-time Bayer packing
+    is the DENSE 2x2 replication (self_dataset.py:150-166,
+    bayer.py:expand_bayer_plane_dense), which differs from the test
+    loader's sparse packing (:259-263).
     """
 
     def __init__(self, raw_dir: str, png_dir: Optional[str] = None,
@@ -146,7 +156,7 @@ class TrainBayerDataset:
         raw = np.fromfile(path, dtype=np.uint16).reshape(ww, hh)
         png = os.path.join(self.png_dir or os.path.dirname(path),
                            base.split("_")[0] + ".png")
-        gt = _imread_rgb(png)
+        gt = _imread_rgb(png, bit_depth=12)
 
         ps = self.ps
         # even-aligned crop keeps the RGGB phase (self_dataset.py:145-147)
@@ -155,7 +165,7 @@ class TrainBayerDataset:
         patch = raw[bii:bii + ps, bjj:bjj + ps].astype(np.float32)
         gt = gt[bii:bii + ps, bjj:bjj + ps]
 
-        inp = expand_bayer_plane(patch / (2 ** 12 - 1))
+        inp = expand_bayer_plane_dense(patch / (2 ** 12 - 1))
         shot, read = random_noise_levels(self.rng)
         inp, _ = add_noise(inp, shot, read, self.rng)
         variance = shot * inp + read                    # noisy-inp quirk

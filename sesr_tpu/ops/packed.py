@@ -54,6 +54,14 @@ from sesr_tpu.quant.params import QuantParams
 
 SLike = Union[int, Tuple[int, int]]
 
+# The cell geometries the deployment surface exposes (CLI `infer --cells`,
+# bench.py, the sharded builders). quant/certify.py mechanically verifies
+# the fast/hybrid lowerings on EXACTLY this set, so a certified artifact is
+# belt-and-braces-checked for every geometry a user can select; cli.py
+# rejects other geometries for the certificate-dependent modes (the PE-exact
+# lowering needs no certificate and accepts any cell size).
+CERTIFIED_CELLS: Tuple[Tuple[int, int], ...] = ((2, 4), (4, 2), (2, 2), (4, 4))
+
 
 def _s2(s: SLike) -> Tuple[int, int]:
     return (s, s) if isinstance(s, int) else (int(s[0]), int(s[1]))
@@ -182,8 +190,11 @@ def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: SLike,
     integer-valued tensors (int8 conv inputs, int16 rounded shortcut)
     instead of the f32 requant outputs — 4x less HBM traffic per layer.
     Bit-exact by construction: x_q IS the quantized intermediate (<= 8
-    bits) and round(relu(h)) == relu(round(h)) for the int16 shortcut,
-    whose values stay well inside 15 bits (certified branch peaks ~300).
+    bits), and the int16 shortcut stores round(relu(h)) — exactly what the
+    residual add consumes — with its magnitude bounded against 2^15 by the
+    certificate (quant/certify.py). Layer 1 reads the UNROUNDED layer-0
+    output (see the in-loop comment: banker's rounding does not commute
+    with the integer zero shift at .5 boundaries).
 
     halo_axis: mesh axis name for W-sharded execution inside shard_map —
     each layer's packed conv then exchanges its ONE-cell W halo
@@ -260,15 +271,21 @@ def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: SLike,
         y = y + fused_p
         h = apply_requant_f32(y, qp.requant_m[i], qp.requant_n[i])
         if i == 0:
-            shortcut = jax.nn.relu(h)
+            h = jax.nn.relu(h)
+            # the residual add only consumes round(shortcut)
+            # (quan_func.py:250 semantics, corrected form), so the int16
+            # store of the ROUNDED value is exact for it (round is
+            # idempotent; the certified branch magnitude is bounded
+            # against 2^15 by quant/certify.py). Layer 1, however, must
+            # see the UNROUNDED requant output: banker's rounding does
+            # not commute with the integer zero shift at .5 boundaries
+            # (round(y+z) != round(y)+z for odd z when frac(y)=0.5 —
+            # caught by the certify packed-equality obligation on
+            # nrdm_3), so h stays wide here and layer 1's int8 x_q store
+            # remains the materialized boundary.
+            shortcut = jnp.round(h)
             if narrow_store:
-                # the residual add only consumes round(shortcut)
-                # (quan_func.py:250 semantics, corrected form); rounding
-                # commutes with relu, and the certified branch magnitude
-                # (~300 max) sits well inside int16
-                shortcut = jnp.round(shortcut).astype(jnp.int16) \
-                    .astype(jnp.float32)
-            h = shortcut
+                shortcut = shortcut.astype(jnp.int16).astype(jnp.float32)
         elif i < L - 1:
             h = jax.nn.relu(h)
 

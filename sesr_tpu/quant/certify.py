@@ -1,44 +1,54 @@
-"""Fast-mode certification: mechanically prove, over a calibration set, that
-the deployment fast datapath is exact.
+"""Fast-mode certification: prove that the deployment fast datapath is exact
+— statically where possible, mechanically over a calibration set otherwise.
 
 The fast path (quant/integer.py, compute="fast") runs ONE full-channel conv
 per layer and skips the per-PE 18-bit saturation stage of the ASIC — it is
 bit-identical to the PE-exact path precisely when no accumulator ever
 saturates. The reference's only guard for this was a print sentinel
 (quan_func.py:357-361, "max_overflow"/"min_overflow"). This module
-productizes that sentinel as a three-way proof obligation per calibration
-image:
+productizes that sentinel at three strength levels per layer:
 
-1. the PE-exact interpreter's saturation-event counters are all zero
-   (18-bit per-PE and 20-bit adder stages);
+STATIC (input-independent proof, round 3): interval arithmetic over the
+FULL enforced int8 input domain. The executed datapath clamps every layer
+input to [qmin, qmax] before the shift (quant/integer.py
+_quantize_domain_in), so the shifted conv input is confined to
+[qmin - z_eff, qmax - z_eff] (hulled with 0 for the SAME-padding /
+pad-cell sites) NO MATTER what image arrives. Running the prefix-sum
+interval of each PE's accumulation in the strict per-MAC tap order
+(channel-major, then kernel row, then column — quan_modules.py:88-90)
+against +-2^(PE_ACC_BIT-1) bounds every trajectory any input could
+produce: a layer whose worst-case prefix interval stays in range can
+never saturate, transiently or finally, for ANY input. Such layers are
+fast-safe unconditionally — the out-of-distribution caveat of empirical
+stamps does not apply to them.
+
+EMPIRICAL (per-calibration-image evidence): for layers the static bound
+cannot clear, the round-2 obligations run per image:
+1. the PE-exact interpreter's 18-bit per-PE saturation counters are zero
+   (20-bit adder events do NOT disqualify — the fast lowering applies the
+   identical 20-bit clamp);
 2. the per-MAC-saturating strict model agrees with the clamp-once conv at
-   every layer's actual integer input (quant/strict.py
-   strict_vs_fast_divergence == 0) — transient mid-accumulation saturation
-   cannot hide behind an in-range final sum. Checked per PE (the ASIC runs
-   4 separate accumulators over the channel round-robin,
-   quan_modules.py:101-201 composes conv_forward_naive per pseudo-batch),
-   NOT one fused accumulator over all channels — interleaving all channels
-   into one per-MAC-clamped trajectory is a different (unimplemented)
-   machine and reports false transients ~4x larger than the hardware's;
-3. the fast lowering's output is array-equal to the PE-exact output.
+   the layer's actual integer input, PER PE (quant/strict.py) — transient
+   mid-accumulation saturation cannot hide behind an in-range final sum.
 
-`certify_fast` stamps the verdict into `QuantParams.fast_cert_ok`;
-`compute="fast"` refuses an unstamped artifact at trace time.
+WHOLE-ARTIFACT equality obligations: a fully-certified artifact has the
+fast interpreter AND the channel-packed fast lowering (ops/packed.py,
+narrow int8/int16 inter-layer stores) proven array-equal to the PE-exact
+interpreter on every image and every deployment cell geometry
+(ops/packed.py CERTIFIED_CELLS); the int16 narrow store of the residual
+shortcut is additionally bounded directly (max |round(shortcut)| < 2^15).
+A partially-certified artifact proves the layer-hybrid lowering equal the
+same way.
 
-Round 2 refinement — PER-LAYER stamps (`fast_cert_layers`): obligations 1-2
-are evaluated per layer (and obligation 1 splits the counters: only 18-bit
-per-PE events disqualify — the fast lowering applies the identical 20-bit
-adder clamp). Tasks whose saturation is confined to a few layers (nr and
-nrdm_6: the last conv only) then run the LAYER-HYBRID deployment lowering
-(ops/packed.py packed_hybrid_forward) at near-fast speed, with its
-end-to-end equality to the PE-exact interpreter proven per calibration
-image as obligation 3'.
+`certify_fast` stamps fast_cert_ok / fast_cert_layers / fast_cert_static
+into the QuantParams; compute="fast" refuses an unstamped artifact at
+trace time.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -47,49 +57,153 @@ from sesr_tpu.config import SESRSpec
 from sesr_tpu.quant.params import QuantParams
 
 
+def _input_interval(qp: QuantParams, i: int) -> Tuple[int, int]:
+    """The full enforced domain of layer i's SHIFTED conv input: the int8
+    clamp bounds minus the effective zero, hulled with 0 (zero padding at
+    image borders and masked pad cells feed exact zeros)."""
+    bits = qp.hw.quan_bits
+    qmin, qmax = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    z = qp.effective_zero(i)
+    return min(0, qmin - z), max(0, qmax - z)
+
+
+def _pe_tap_matrix(w_int: np.ndarray, pe: int, p: int) -> np.ndarray:
+    """(T, OC) int64 tap weights of PE p in the strict per-MAC accumulation
+    order: input channel outermost, then kernel row, then kernel column
+    (quan_modules.py:88-90; channels c % pe != p masked to zero exactly as
+    quant/strict.py does — a zero operand is an exact no-op MAC)."""
+    w = np.asarray(w_int, np.int64)
+    ic = w.shape[2]
+    w_p = w * (np.arange(ic) % pe == p)[None, None, :, None]
+    return w_p.transpose(2, 0, 1, 3).reshape(-1, w.shape[3])
+
+
+def static_layer_safe(qp: QuantParams, i: int) -> bool:
+    """Input-independent saturation-freedom proof for layer i.
+
+    True iff, for every PE and output channel, the prefix-sum interval of
+    the per-MAC accumulation over the full enforced input domain
+    (_input_interval) stays strictly inside the PE_ACC_BIT saturation
+    bounds. Sound for the fast lowering (no transient can exceed what some
+    prefix interval allows) and for the strict per-MAC model (no clamp ever
+    engages, so clamp-once == clamp-every-MAC == unclamped)."""
+    hw = qp.hw
+    lo_x, hi_x = _input_interval(qp, i)
+    lim_hi = (1 << (hw.pe_acc_bits - 1)) - 1
+    lim_lo = -(1 << (hw.pe_acc_bits - 1))
+    for p in range(hw.pe):
+        taps = _pe_tap_matrix(qp.w_int[i], hw.pe, p)         # (T, OC)
+        t_lo = np.minimum(taps * lo_x, taps * hi_x)
+        t_hi = np.maximum(taps * lo_x, taps * hi_x)
+        if (np.cumsum(t_lo, axis=0).min() < lim_lo
+                or np.cumsum(t_hi, axis=0).max() > lim_hi):
+            return False
+    return True
+
+
+def static_layer_stamps(qp: QuantParams) -> Tuple[bool, ...]:
+    """static_layer_safe for every conv."""
+    return tuple(static_layer_safe(qp, i) for i in range(qp.num_convs))
+
+
+def adversarial_input_for_layer(qp: QuantParams, i: int):
+    """The worst-case SHIFTED input patch for layer i: a (1, k, k, IC) int
+    array (values in the enforced domain) that drives some PE's per-MAC
+    prefix sum at the center output position to its interval extreme.
+
+    Every site takes lo_x or hi_x according to the sign of the worst
+    (PE, out-channel)'s kernel weight there, so the center position's
+    accumulation trajectory IS the interval bound — if static_layer_safe
+    holds, even this input cannot saturate; if it does not because the
+    bound is exceeded, this input realizes an 18-bit event. Used by
+    tests/test_certify.py to show the static stamp is tight, not vacuous.
+    """
+    hw = qp.hw
+    w = np.asarray(qp.w_int[i], np.int64)
+    k, _, ic, oc = w.shape
+    lo_x, hi_x = _input_interval(qp, i)
+
+    best = None                                     # (|extreme|, p, o, sign)
+    for p in range(hw.pe):
+        taps = _pe_tap_matrix(w, hw.pe, p)
+        t_lo = np.minimum(taps * lo_x, taps * hi_x)
+        t_hi = np.maximum(taps * lo_x, taps * hi_x)
+        hi_ext = np.cumsum(t_hi, axis=0).max(axis=0)         # (OC,)
+        lo_ext = np.cumsum(t_lo, axis=0).min(axis=0)
+        for o in range(oc):
+            for val, sign in ((hi_ext[o], +1), (-lo_ext[o], -1)):
+                if best is None or val > best[0]:
+                    best = (val, p, o, sign)
+    _, p, o, sign = best
+    mask = (np.arange(ic) % hw.pe == p)[None, None, :]
+    w_po = w[:, :, :, o] * mask                              # (k, k, IC)
+    x = np.where(w_po * sign > 0, hi_x, lo_x).astype(np.int32)
+    x = np.where((w_po == 0) & ~np.broadcast_to(mask, w_po.shape), 0, x)
+    return x[None], (p, o, sign)
+
+
 def certify_fast(spec: SESRSpec, qp: QuantParams,
                  images: Sequence[np.ndarray]) -> QuantParams:
     """Run the proof obligations over `images` (NHWC float in [0,1]).
 
     Returns a copy of `qp` with fast_cert_ok / fast_cert_images /
-    fast_cert_layers stamped. fast_cert_layers[i] is True when layer i's
-    18-bit events and per-MAC strict divergence are both zero over every
-    image — the per-layer refinement that powers the LAYER-HYBRID
-    deployment path (ops/packed.py packed_hybrid_forward) for tasks whose
-    saturation is confined to a few layers (nr and nrdm_6 saturate only in
-    their last conv). 20-bit adder events do NOT disqualify a layer: the
-    fast lowering applies the identical 20-bit clamp.
+    fast_cert_layers / fast_cert_static stamped:
 
-    A partially-certified artifact additionally has its hybrid lowering
-    proven array-equal to the PE-exact interpreter end-to-end on every
-    image (the per-layer flags are sound by induction — a fast layer fed
-    the exact path's inputs produces the exact path's outputs — and the
-    equality check makes that mechanical, not rhetorical). Certification is
-    evidence on the calibration distribution, so the images should cover
-    the deployment distribution.
+    - fast_cert_static[i]: layer i is PROVEN saturation-free for ALL
+      possible inputs (interval arithmetic, static_layer_safe) — no
+      calibration-distribution caveat applies.
+    - fast_cert_layers[i]: layer i is fast-safe — statically, or
+      empirically over every image (zero 18-bit events + zero per-MAC
+      strict divergence). Powers the LAYER-HYBRID deployment path
+      (ops/packed.py packed_hybrid_forward) for tasks whose saturation is
+      confined to a few layers (nr and nrdm_6: the last conv only).
+    - fast_cert_ok: every layer is fast-safe AND the fast interpreter and
+      every CERTIFIED_CELLS packed fast lowering (narrow int8/int16
+      stores included) reproduced the PE-exact output array-exactly on
+      every image, with the int16 shortcut store bounded directly.
+
+    Empirical stamps are evidence on the calibration distribution, so the
+    images should cover the deployment distribution; static stamps are
+    proofs and need no images at all.
     """
+    from sesr_tpu.ops.packed import CERTIFIED_CELLS
     from sesr_tpu.quant.integer import integer_forward, _pe_weight_masks
     from sesr_tpu.quant.strict import strict_vs_fast_divergence
 
     L = qp.num_convs
+    static = list(static_layer_stamps(qp))
     # optimistically-stamped copy so the fast/hybrid lowerings can run during
     # their own certification (the trace-time guard would otherwise refuse)
     qp_try = dataclasses.replace(qp, fast_cert_ok=True,
                                  fast_cert_images=len(images),
-                                 fast_cert_layers=tuple([True] * L))
+                                 fast_cert_layers=tuple([True] * L),
+                                 fast_cert_static=tuple(static))
+    # static layers are proven; the rest start optimistic and are demoted
+    # by per-image evidence (counters / per-MAC strict divergence)
     layer_ok = [True] * L
     exact_outs = []
+    shortcut_max = 0.0
     for img in images:
         x = jnp.asarray(img, jnp.float32)
         y_exact, dumps = integer_forward(spec, qp_try, x, collect_dumps=True,
                                          corrected=True)
         exact_outs.append(np.asarray(y_exact))
+        shortcut_max = max(shortcut_max,
+                           float(np.abs(np.round(
+                               np.asarray(dumps["shortcut"]))).max()))
         ovf18 = np.asarray(dumps["overflow_18"])
         for i in range(L):
+            if static[i]:
+                # the static proof covers every input; a counter firing here
+                # would mean the bound is unsound — surface it loudly
+                assert ovf18[i] == 0, (
+                    f"layer {i}: statically-proven-safe but 18-bit counter "
+                    f"fired ({int(ovf18[i])} events) — interval bound bug")
+                continue
             if ovf18[i] != 0:
                 layer_ok[i] = False
         for i in range(L):
-            if not layer_ok[i]:
+            if static[i] or not layer_ok[i]:
                 continue
             x_shift = (np.asarray(dumps[f"input.{i}"], np.int32)
                        - qp.effective_zero(i))
@@ -100,6 +214,13 @@ def certify_fast(spec: SESRSpec, qp: QuantParams,
 
     ok = all(layer_ok)
     if ok:
+        # direct bound on the int16 narrow store of the residual shortcut
+        # (ops/packed.py narrow_store) — a wrap there would corrupt the
+        # residual add silently
+        if shortcut_max >= float(1 << 15):
+            ok, layer_ok = False, [False] * L
+    if ok:
+        from sesr_tpu.ops.packed import packed_fast_forward
         for img, y_e in zip(images, exact_outs):
             y_fast, _ = integer_forward(spec, qp_try, jnp.asarray(img),
                                         corrected=True, compute="fast")
@@ -108,14 +229,24 @@ def certify_fast(spec: SESRSpec, qp: QuantParams,
                 # demote everything rather than ship unsound stamps
                 ok, layer_ok = False, [False] * L
                 break
+        # the packed fast lowering (incl. its narrow int8/int16 inter-layer
+        # stores) on every geometry the deployment surface exposes
+        if ok:
+            for cells in CERTIFIED_CELLS:
+                for img, y_e in zip(images, exact_outs):
+                    y_p = packed_fast_forward(spec, qp_try, img, cells)
+                    if not np.array_equal(y_e, np.asarray(y_p)):
+                        ok, layer_ok = False, [False] * L
+                        break
+                if not ok:
+                    break
     elif any(layer_ok):
         from sesr_tpu.ops.packed import packed_hybrid_forward
         qp_h = dataclasses.replace(qp_try, fast_cert_ok=False,
                                    fast_cert_layers=tuple(layer_ok))
-        # check every cell geometry the CLI/bench expose (the packed
-        # rewrite is cell-size-exact by construction; this is the
-        # mechanical belt-and-braces over the implementation)
-        for cells in ((2, 4), (4, 4)):
+        # mechanical belt-and-braces over every geometry the CLI/bench
+        # expose (the packed rewrite is cell-size-exact by construction)
+        for cells in CERTIFIED_CELLS:
             for img, y_e in zip(images, exact_outs):
                 y_h = packed_hybrid_forward(spec, qp_h, img, cells)
                 if not np.array_equal(y_e, np.asarray(y_h)):
@@ -125,4 +256,5 @@ def certify_fast(spec: SESRSpec, qp: QuantParams,
                 break
     return dataclasses.replace(qp, fast_cert_ok=ok,
                                fast_cert_images=len(images),
-                               fast_cert_layers=tuple(layer_ok))
+                               fast_cert_layers=tuple(layer_ok),
+                               fast_cert_static=tuple(static))

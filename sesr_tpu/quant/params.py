@@ -106,6 +106,29 @@ class QuantParams:
     # fast everywhere else, end-to-end array-equal to the full PE-exact
     # path (certified per image in quant/certify.py).
     fast_cert_layers: Optional[Tuple[bool, ...]] = None
+    # STATIC (input-independent) refinement: layer i is PROVEN
+    # saturation-free for ALL possible inputs by interval arithmetic over
+    # the full enforced int8 domain (quant/certify.py static_layer_safe) —
+    # the executed clamp confines every layer input to [qmin, qmax], so the
+    # worst-case per-MAC prefix interval bounds every trajectory any image
+    # could produce. Statically-stamped layers carry NO
+    # calibration-distribution caveat; empirically-stamped ones
+    # (fast_cert_layers[i] and not fast_cert_static[i]) remain evidence on
+    # the calibration set only.
+    fast_cert_static: Optional[Tuple[bool, ...]] = None
+
+    @property
+    def cert_grade(self) -> str:
+        """"static" (every layer proven for all inputs), "empirical"
+        (fully certified on the calibration set), "partial" (layer-hybrid
+        eligible), or "none"."""
+        if self.fast_cert_static is not None and all(self.fast_cert_static):
+            return "static"
+        if self.fast_cert_ok:
+            return "empirical"
+        if self.fast_cert_layers is not None and any(self.fast_cert_layers):
+            return "partial"
+        return "none"
 
     @property
     def num_convs(self) -> int:
@@ -150,6 +173,8 @@ class QuantParams:
             fast_cert_images=self.fast_cert_images,
             fast_cert_layers=(None if self.fast_cert_layers is None
                               else list(self.fast_cert_layers)),
+            fast_cert_static=(None if self.fast_cert_static is None
+                              else list(self.fast_cert_static)),
         )
         np.savez(path, __meta__=json.dumps(meta), **arrays)
 
@@ -177,6 +202,10 @@ class QuantParams:
                               is None else
                               tuple(bool(b) for b in
                                     meta["fast_cert_layers"])),
+            fast_cert_static=(None if meta.get("fast_cert_static")
+                              is None else
+                              tuple(bool(b) for b in
+                                    meta["fast_cert_static"])),
         )
 
 

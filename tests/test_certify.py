@@ -62,6 +62,102 @@ def test_certify_detects_saturation():
     assert not qp.fast_cert_ok
 
 
+def test_static_stamps_are_input_independent():
+    """Statically-proven layers survive even the interval-extreme
+    adversarial input: the per-MAC strict model and the clamp-once conv
+    agree, and no 18-bit event fires — for an input constructed to maximize
+    the accumulator trajectory, which dominates anything a real image can
+    produce (quant/certify.py static_layer_safe soundness)."""
+    from sesr_tpu.ops.conv import conv2d_nhwc
+    from sesr_tpu.ops.fixedpoint import saturate
+    from sesr_tpu.quant.certify import (adversarial_input_for_layer,
+                                        static_layer_stamps)
+    from sesr_tpu.quant.integer import _pe_weight_masks
+    from sesr_tpu.quant.strict import strict_vs_fast_divergence
+
+    spec, images, qp = _fresh_qparams("sr_x2")
+    static = static_layer_stamps(qp)
+    assert any(static), "sr_x2 should have statically-proven layers"
+    for i, s in enumerate(static):
+        if not s:
+            continue
+        x_shift, _meta = adversarial_input_for_layer(qp, i)
+        for w_p in _pe_weight_masks(np.asarray(qp.w_int[i]), qp.hw.pe):
+            assert strict_vs_fast_divergence(x_shift, w_p, qp.hw) == 0
+            y = conv2d_nhwc(jnp.asarray(x_shift, jnp.int32),
+                            jnp.asarray(w_p, jnp.int32),
+                            preferred_element_type=jnp.int32)
+            assert bool(jnp.all(saturate(y, qp.hw.pe_acc_bits) == y)), (
+                f"static layer {i} saturated on the adversarial input")
+
+
+def test_static_bound_is_not_vacuous():
+    """A layer the static analysis REFUSES must actually be saturable: the
+    adversarial input realizes an 18-bit event on nr's saturating conv."""
+    from sesr_tpu.ops.conv import conv2d_nhwc
+    from sesr_tpu.ops.fixedpoint import saturate
+    from sesr_tpu.quant.certify import (adversarial_input_for_layer,
+                                        static_layer_stamps)
+    from sesr_tpu.quant.integer import _pe_weight_masks
+
+    spec, images, qp = _fresh_qparams("nr")
+    static = static_layer_stamps(qp)
+    unsafe = [i for i, s in enumerate(static) if not s]
+    assert unsafe, "nr should have statically-unprovable layers"
+    fired = False
+    for i in unsafe:
+        x_shift, (p, _o, _sign) = adversarial_input_for_layer(qp, i)
+        w_p = _pe_weight_masks(np.asarray(qp.w_int[i]), qp.hw.pe)[p]
+        y = conv2d_nhwc(jnp.asarray(x_shift, jnp.int32),
+                        jnp.asarray(w_p, jnp.int32),
+                        preferred_element_type=jnp.int32)
+        if not bool(jnp.all(saturate(y, qp.hw.pe_acc_bits) == y)):
+            fired = True
+    assert fired, "no statically-refused layer realized a saturation event"
+
+
+def test_static_layer_exact_on_out_of_distribution_input():
+    """The OOD caveat (tests/test_packed.py) does NOT apply to static
+    layers: feed a layer an input far outside the calibration distribution
+    (every value at the domain extremes, adversarial sign pattern) and the
+    fast clamp-once conv still equals the strict per-MAC model."""
+    from sesr_tpu.quant.certify import static_layer_stamps
+    from sesr_tpu.quant.integer import _pe_weight_masks
+    from sesr_tpu.quant.strict import strict_vs_fast_divergence
+    from sesr_tpu.quant.certify import _input_interval
+
+    spec, images, qp = _fresh_qparams("sr_x2")
+    static = static_layer_stamps(qp)
+    i = next(i for i, s in enumerate(static) if s)
+    lo, hi = _input_interval(qp, i)
+    rng = np.random.default_rng(0)
+    ic = qp.w_int[i].shape[2]
+    # uniform over the FULL domain — nothing like calibration activations
+    x = rng.integers(lo, hi + 1, size=(1, 16, 16, ic)).astype(np.int32)
+    for w_p in _pe_weight_masks(np.asarray(qp.w_int[i]), qp.hw.pe):
+        assert strict_vs_fast_divergence(x, w_p, qp.hw) == 0
+
+
+def test_cert_grade_property():
+    spec, images, qp = _fresh_qparams("sr_x2")
+    assert qp.cert_grade == "none"
+    qp_c = certify_fast(spec, qp, images)
+    assert qp_c.cert_grade in ("empirical", "static")
+    assert qp_c.fast_cert_static is not None
+    spec_n, images_n, qp_n = _fresh_qparams("nr")
+    qp_n = certify_fast(spec_n, qp_n, images_n)
+    assert qp_n.cert_grade == "partial"
+
+
+def test_static_stamp_survives_serialization(tmp_path):
+    spec, images, qp = _fresh_qparams("sr_x2")
+    qp = certify_fast(spec, qp, images)
+    p = str(tmp_path / "qp.npz")
+    qp.save(p)
+    qp2 = QuantParams.load(p)
+    assert qp2.fast_cert_static == qp.fast_cert_static
+
+
 @pytest.mark.parametrize("task", ["sr_x2", "sr_x4"])
 def test_shipped_artifact_certified_and_fast_exact(task):
     """The artifacts bench.py / __graft_entry__.py load must carry a valid

@@ -68,6 +68,72 @@ def test_imread_12bit_heuristic(tmp_path):
     np.testing.assert_allclose(_imread_rgb(p8), 1.0)
 
 
+def test_imread_explicit_bit_depth(tmp_path):
+    """A DARK 12-bit PNG (max <= 255) must still divide by 2**12-1 when the
+    caller knows the depth — the reference normalizes its raw-domain ground
+    truth unconditionally (self_dataset.py:136,243); the max-based heuristic
+    would scale such an image ~16x too bright (ADVICE r2)."""
+    p = str(tmp_path / "dark.png")
+    arr = np.full((8, 8), 200, np.uint16)          # 12-bit content, dark
+    Image.fromarray(arr).save(p)
+    img = _imread_rgb(p, bit_depth=12)
+    np.testing.assert_allclose(img, 200.0 / 4095.0, atol=1e-6)
+    # without the hint the heuristic mis-scales — that is WHY the raw-domain
+    # loaders pass the explicit depth
+    np.testing.assert_allclose(_imread_rgb(p), 200.0 / 255.0, atol=1e-6)
+
+
+def test_expand_bayer_plane_dense_matches_reference_equations():
+    """The TRAIN loader's Bayer packing is the dense 2x2 replication of
+    self_dataset.py:150-166 (distinct from the test loader's sparse
+    packing): R and B fill all 4 sites of their cell; G_r fills its row-0
+    pair, G_b its row-1 pair."""
+    from sesr_tpu.data.bayer import expand_bayer_plane_dense
+
+    rng = np.random.default_rng(2)
+    raw = rng.random((6, 8)).astype(np.float32)
+    out = expand_bayer_plane_dense(raw)
+    ref = np.zeros((6, 8, 3), np.float32)          # HWC, reference indexing
+    ref[0::2, 0::2, 0] = raw[0::2, 0::2]
+    ref[0::2, 1::2, 0] = raw[0::2, 0::2]
+    ref[1::2, 0::2, 0] = raw[0::2, 0::2]
+    ref[1::2, 1::2, 0] = raw[0::2, 0::2]
+    ref[0::2, 1::2, 1] = raw[0::2, 1::2]
+    ref[1::2, 0::2, 1] = raw[1::2, 0::2]
+    ref[0::2, 0::2, 1] = raw[0::2, 1::2]
+    ref[1::2, 1::2, 1] = raw[1::2, 0::2]
+    ref[1::2, 1::2, 2] = raw[1::2, 1::2]
+    ref[0::2, 1::2, 2] = raw[1::2, 1::2]
+    ref[1::2, 0::2, 2] = raw[1::2, 1::2]
+    ref[0::2, 0::2, 2] = raw[1::2, 1::2]
+    np.testing.assert_array_equal(out, ref.transpose(2, 0, 1))
+    # every site is populated (dense), unlike the sparse test packing
+    assert (np.abs(out).sum(axis=0) > 0).all()
+
+
+def test_train_bayer_uses_dense_packing(tmp_path):
+    """TrainBayerDataset input = dense expansion + noise; with the noise
+    made deterministic via seed, the pre-noise signal sits at the dense
+    sites (the sparse packing would leave 2/3 of each channel exactly at
+    pure noise)."""
+    from sesr_tpu.data.bayer import expand_bayer_plane_dense
+
+    raw, _ = _make_raw_tree(str(tmp_path), w=32, h=40)
+    ds = TrainBayerDataset(str(tmp_path), ps=32, seed=5)
+    # reproduce the loader's RNG stream: one crop draw pair, then noise
+    rng = np.random.default_rng(5)
+    bii = int(rng.integers(0, 1)) // 2 * 2
+    bjj = int(rng.integers(0, max(40 - 32, 1))) // 2 * 2
+    patch = raw[bii:bii + 32, bjj:bjj + 32].astype(np.float32)
+    from sesr_tpu.data.bayer import random_noise_levels, add_noise
+    dense = expand_bayer_plane_dense(patch / 4095.0)
+    shot, read = random_noise_levels(rng)
+    noisy, _ = add_noise(dense, shot, read, rng)
+    inp, _, _ = ds[0]
+    np.testing.assert_allclose(
+        inp[0], np.clip(noisy, 0, 1).transpose(1, 2, 0), atol=1e-6)
+
+
 def _make_raw_tree(root, name="scene", w=16, h=24):
     """name_W_H.raw (uint16 plane, reshape(W, H) — the reference's
     self_dataset.py:247-251 convention) + matching 12-bit PNG."""

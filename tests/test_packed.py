@@ -48,8 +48,14 @@ def test_packed_conv_equals_same_conv(rng, k, s):
 
 @pytest.mark.parametrize("task,s", [("sr_x2", 2), ("sr_x4", 2),
                                     ("sr_x2", 4), ("sr_x4", 4),
-                                    ("sr_x2", (2, 4)), ("sr_x2", (4, 2))])
+                                    ("sr_x2", (2, 4)), ("sr_x2", (4, 2)),
+                                    ("nrdm_3", (2, 4)), ("dm", (2, 4))])
 def test_packed_fast_bitexact_vs_fast(task, s):
+    """Packed fast == the fast interpreter == the PE-EXACT interpreter.
+    nrdm_3 is the regression pin for the round-3 narrow-store fix: the
+    rounded int16 shortcut must NOT replace layer 1's unrounded input
+    (banker's rounding does not commute with the zero shift at .5
+    boundaries — nrdm_3's calibration images hit them; ops/packed.py)."""
     path = os.path.join(ARTIFACTS, f"qparams_{task}.npz")
     if not os.path.exists(path):
         pytest.skip(f"{path} missing (run tools/make_qparams.py)")
@@ -59,9 +65,12 @@ def test_packed_fast_bitexact_vs_fast(task, s):
         x = jnp.asarray(inp)
         y_fast, _ = integer_forward(spec, qp, x, corrected=True,
                                     compute="fast")
+        y_exact, _ = integer_forward(spec, qp, x, corrected=True)
         y_packed = packed_fast_forward(spec, qp, x, s=s)
         np.testing.assert_array_equal(np.asarray(y_packed),
                                       np.asarray(y_fast))
+        np.testing.assert_array_equal(np.asarray(y_packed),
+                                      np.asarray(y_exact))
 
 
 def test_packed_fast_odd_sizes():
