@@ -148,18 +148,47 @@ def pack_weight_hwio(w: np.ndarray, s: SLike) -> np.ndarray:
 
 def packed_conv_same(x_p, wp, q_lo_hw, q_hi_hw,
                      preferred_element_type=jnp.float32,
-                     w_valid: bool = False):
+                     w_valid: bool = False, h_valid: bool = False):
     """Stride-1 packed conv with the (possibly asymmetric) zero padding that
     reproduces the original SAME conv. q_lo_hw/q_hi_hw: per-axis (H, W) tap
-    bounds (ints accepted for the symmetric-cell case). ``w_valid``: no W
-    padding — the caller pre-extended W with a cell halo (sharded mode)."""
+    bounds (ints accepted for the symmetric-cell case). ``w_valid`` /
+    ``h_valid``: no padding along that axis — the caller pre-extended it
+    with a cell halo (sharded mode)."""
     ql = _s2(q_lo_hw)
     qh = _s2(q_hi_hw)
     return jax.lax.conv_general_dilated(
         x_p, wp, window_strides=(1, 1),
-        padding=[(-ql[0], qh[0]), (0, 0) if w_valid else (-ql[1], qh[1])],
+        padding=[(0, 0) if h_valid else (-ql[0], qh[0]),
+                 (0, 0) if w_valid else (-ql[1], qh[1])],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=preferred_element_type)
+
+
+def _halo_extend(x_c, q_lo, q_hi, halo_axis):
+    """ONE-cell halo exchange for sharded packed execution; returns
+    (extended, h_valid, w_valid). halo_axis: a single mesh axis name (W
+    sharding), or an (h_axis, w_axis) pair for the 2D spatial mesh — the
+    packed analog of the integer interpreter's halo_exchange_2d wiring
+    (corner values arrive via the two-hop H-then-W exchange). Every packed
+    kernel's tap range is exactly [-1, 1] per axis for k in {3, 5} at
+    s in {2, 4}, asserted here. Zeros delivered at mesh edges by the
+    non-wrapping ppermute equal the packed SAME padding in the shifted
+    domain."""
+    if halo_axis is None:
+        return x_c, False, False
+    from sesr_tpu.ops.halo import halo_exchange, halo_exchange_2d
+    if isinstance(halo_axis, tuple):
+        h_ax, w_ax = halo_axis
+        if h_ax is None:
+            # W sharded over a COMBINED axis group (e.g. ("dp", "sp") in
+            # the multihost tail forward) — a plain W exchange whose
+            # ppermute rides the flattened axis
+            assert q_lo[1] == -1 and q_hi[1] == 1, (q_lo, q_hi)
+            return halo_exchange(x_c, 1, w_ax, dim=2), False, True
+        assert tuple(q_lo) == (-1, -1) and tuple(q_hi) == (1, 1), (q_lo, q_hi)
+        return halo_exchange_2d(x_c, 1, h_ax, w_ax), True, True
+    assert q_lo[1] == -1 and q_hi[1] == 1, (q_lo, q_hi)
+    return halo_exchange(x_c, 1, halo_axis, dim=2), False, True
 
 
 def _pad_mask(spec: SESRSpec, H: int, W: int, s: SLike):
@@ -258,13 +287,10 @@ def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: SLike,
             x_shift = x_shift * jnp.repeat(mask, cpl, axis=-1)[None]
 
         wp, q_lo, q_hi = packed_w[i]
-        x_c = x_shift.astype(jnp.bfloat16)
-        if halo_axis is not None:
-            from sesr_tpu.ops.halo import halo_exchange
-            assert q_lo[1] == -1 and q_hi[1] == 1, (q_lo, q_hi)
-            x_c = halo_exchange(x_c, 1, halo_axis, dim=2)
+        x_c, h_v, w_v = _halo_extend(x_shift.astype(jnp.bfloat16),
+                                     q_lo, q_hi, halo_axis)
         y = packed_conv_same(x_c, wp, q_lo, q_hi,
-                             w_valid=halo_axis is not None).astype(jnp.int32)
+                             w_valid=w_v, h_valid=h_v).astype(jnp.int32)
         y = saturate(y, hw.pe_add_bits)
         fused = np.clip(np.asarray(qp.bias_int[i]), -bias_hi - 1, bias_hi)
         fused_p = jnp.asarray(np.tile(fused, sh * sw), jnp.int32)
@@ -419,15 +445,12 @@ def _packed_exact_impl(spec: SESRSpec, x, qp_static, s: SLike,
             x_shift = x_shift * jnp.repeat(mask, cpl, axis=-1)[None]
 
         pe, is_fast, q_lo, q_hi, fused = layer_consts[i]
-        x_c = x_shift.astype(jnp.bfloat16)
-        if halo_axis is not None:
-            from sesr_tpu.ops.halo import halo_exchange
-            assert q_lo[1] == -1 and q_hi[1] == 1, (q_lo, q_hi)
-            x_c = halo_exchange(x_c, 1, halo_axis, dim=2)
+        x_c, h_v, w_v = _halo_extend(x_shift.astype(jnp.bfloat16),
+                                     q_lo, q_hi, halo_axis)
         if pe[0] == "cat":
             _, n_pe, wp_cat, zsum_cat = pe
             y_all = packed_conv_same(x_c, wp_cat, q_lo, q_hi,
-                                     w_valid=halo_axis is not None
+                                     w_valid=w_v, h_valid=h_v
                                      ).astype(jnp.int32)
             if not corrected:
                 y_all = y_all + zsum_cat
@@ -440,7 +463,7 @@ def _packed_exact_impl(spec: SESRSpec, x, qp_static, s: SLike,
             total = None
             for (wp, zsum) in pe[1]:
                 y_p = packed_conv_same(x_c, wp, q_lo, q_hi,
-                                       w_valid=halo_axis is not None
+                                       w_valid=w_v, h_valid=h_v
                                        ).astype(jnp.int32)
                 if not corrected:
                     y_p = y_p + zsum

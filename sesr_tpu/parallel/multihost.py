@@ -107,9 +107,81 @@ def multihost_packed_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
     return jax.jit(inner)
 
 
+def make_mesh_multihost_2d(n_hosts: Optional[int] = None, dp: int = 1,
+                           sp_h: int = 2, sp_w: int = 2) -> Mesh:
+    """("host", "dp", "sph", "spw") mesh: hosts outermost (pure DCN data
+    placement), 2D spatial grid innermost (ICI halos along both axes)."""
+    devs = jax.devices()
+    if n_hosts is None:
+        n_hosts = jax.process_count()
+    per_host = len(devs) // n_hosts
+    assert dp * sp_h * sp_w <= per_host, (
+        f"dp*sp_h*sp_w={dp * sp_h * sp_w} must fit within one host's "
+        f"{per_host} devices so halo exchanges never cross DCN")
+    need = n_hosts * dp * sp_h * sp_w
+    assert need <= len(devs), f"need {need} devices, have {len(devs)}"
+    arr = np.array(devs[:need]).reshape(n_hosts, dp, sp_h, sp_w)
+    return Mesh(arr, axis_names=("host", "dp", "sph", "spw"))
+
+
+def multihost_packed_forward_2d(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
+                                s=(2, 4)):
+    """The deployment datapath at pod scale on the 2D spatial mesh: frames
+    over (host, dp), H over sph, W over spw; per-layer one-cell packed
+    halos ride ICI only (both axes live within a host), the host axis
+    stays collective-free. Certificate-selected lowering, cell-aligned
+    local shards required."""
+    from sesr_tpu.ops.packed import select_packed_forward
+
+    _mode, fwd = select_packed_forward(qp)
+
+    def local_fn(x):
+        return fwd(spec, qp, x, s=s, halo_axis=("sph", "spw"))
+
+    inner = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=P(("host", "dp"), "sph", "spw", None),
+        out_specs=P(("host", "dp"), "sph", "spw", None),
+    )
+    return jax.jit(inner)
+
+
 def frame_batch_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for a global (N, H, W, C) frame batch on a multihost mesh."""
     return NamedSharding(mesh, P(("host", "dp"), None, "sp", None))
+
+
+def multihost_tail_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
+                           lowering: str = "interpreter", **fwd_kwargs):
+    """The second compiled shape for PARTIAL final batches: frames are
+    batched over the host axis only, and each frame's W is sharded over the
+    COMBINED ("dp", "sp") axis group — every chip still does useful work,
+    so a stream tail of k frames costs ceil(k/host) frame-times instead of
+    a full padded host*dp batch of recompute. The combined axes live within
+    one host (mesh layout make_mesh_multihost), so the wider halo ppermutes
+    still ride ICI only and the host axis stays collective-free.
+
+    Returns f(x) for global x (N, H, W, C) with N % host == 0 and
+    W % (dp*sp) == 0 (cell-aligned per shard in deployment mode)."""
+    w_axes = ("dp", "sp")
+    if lowering == "deployment":
+        from sesr_tpu.ops.packed import select_packed_forward
+        _mode, pf = select_packed_forward(qp)
+
+        def local_fn(x):
+            return pf(spec, qp, x, halo_axis=(None, w_axes), **fwd_kwargs)
+    else:
+        def local_fn(x):
+            y, _ = integer_forward(spec, qp, x, halo_axis=(None, w_axes),
+                                   **fwd_kwargs)
+            return y
+
+    inner = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=P("host", None, w_axes, None),
+        out_specs=P("host", None, w_axes, None),
+    )
+    return jax.jit(inner)
 
 
 def stream_frames(spec: SESRSpec, qp: QuantParams, mesh: Mesh, frames,
@@ -126,13 +198,20 @@ def stream_frames(spec: SESRSpec, qp: QuantParams, mesh: Mesh, frames,
     "deployment" (the channel-packed MXU datapath via
     multihost_packed_forward, certificate-selected fast/hybrid/PE-exact;
     fwd_kwargs then takes `s=` cells only). Requires cell-aligned local W
-    shards in deployment mode."""
+    shards in deployment mode.
+
+    The final PARTIAL batch does NOT recompute padded frames: it runs
+    through multihost_tail_forward (batch over hosts only, W over the
+    combined (dp, sp) axes), padding at most host-1 frames instead of
+    host*dp-1. When the frame width cannot shard that finely (W not
+    divisible by dp*sp*cells), it falls back to the padded full batch."""
     if lowering == "deployment":
         fwd = multihost_packed_forward(spec, qp, mesh, **fwd_kwargs)
     else:
         fwd = multihost_integer_forward(spec, qp, mesh, **fwd_kwargs)
     sh = frame_batch_sharding(mesh)
-    n = mesh.shape["host"] * mesh.shape["dp"]
+    n_host, dp, sp = (mesh.shape["host"], mesh.shape["dp"], mesh.shape["sp"])
+    n = n_host * dp
     buf = []
     for f in frames:
         buf.append(np.asarray(f, np.float32))
@@ -141,10 +220,26 @@ def stream_frames(spec: SESRSpec, qp: QuantParams, mesh: Mesh, frames,
             yield fwd(x)
             buf = []
     if buf:
-        # final partial batch: pad with repeats of the last frame and let
-        # the caller slice (shape must stay static for the compiled fwd)
         k = len(buf)
-        while len(buf) < n:
-            buf.append(buf[-1])
-        x = jax.device_put(jnp.concatenate(buf, axis=0), sh)
-        yield fwd(x)[:k]
+        W = buf[0].shape[2]
+        s_w = 1
+        if lowering == "deployment":
+            s = fwd_kwargs.get("s", (2, 4))
+            s_w = s if isinstance(s, int) else s[1]
+        if W % (dp * sp * s_w) == 0 and dp > 1:
+            tail_n = -(-k // n_host) * n_host
+            while len(buf) < tail_n:
+                buf.append(np.zeros_like(buf[-1]))
+            tail_fwd = multihost_tail_forward(spec, qp, mesh, lowering,
+                                              **fwd_kwargs)
+            tail_sh = NamedSharding(mesh, P("host", None, ("dp", "sp"),
+                                            None))
+            x = jax.device_put(jnp.concatenate(buf, axis=0), tail_sh)
+            yield tail_fwd(x)[:k]
+        else:
+            # fall back: pad to a full batch and let the caller's slice
+            # discard the repeats (static shape for the compiled fwd)
+            while len(buf) < n:
+                buf.append(buf[-1])
+            x = jax.device_put(jnp.concatenate(buf, axis=0), sh)
+            yield fwd(x)[:k]

@@ -107,6 +107,31 @@ def _packed_local_fn(spec: SESRSpec, qp: QuantParams, s, fwd):
     return local_fn
 
 
+def sharded_deployment_forward_2d(spec: SESRSpec, qp: QuantParams,
+                                  mesh: Mesh, s=(2, 4)):
+    """The channel-packed deployment datapath on the 2D spatial mesh
+    (dp=batch, sph=H, spw=W) — the pod-scale layout for large frames,
+    mirroring the reference's own 2D tile walk (output.py:42-65). Each
+    layer's packed conv exchanges a ONE-cell halo along BOTH spatial axes
+    (corners via the two-hop H-then-W exchange, ops/halo.py). Requires
+    cell-aligned local shards (H_local % s_h == W_local % s_w == 0);
+    lowering picked by the artifact's certificate; bit-identical to the
+    monolithic path (tests/test_sharding.py)."""
+    from sesr_tpu.ops.packed import select_packed_forward
+
+    _mode, fwd = select_packed_forward(qp)
+
+    def local_fn(x):
+        return fwd(spec, qp, x, s=s, halo_axis=("sph", "spw"))
+
+    inner = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=P("dp", "sph", "spw", None),
+        out_specs=P("dp", "sph", "spw", None),
+    )
+    return jax.jit(inner)
+
+
 def sharded_deployment_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
                                s=(2, 4)):
     """The channel-packed deployment datapath sharded (dp=batch, sp=W),

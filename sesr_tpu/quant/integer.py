@@ -135,9 +135,13 @@ def _integer_conv_pe(x_shift, i: int, qp: QuantParams, halo_axis=None,
     zero_eff = qp.effective_zero(i)
     x_i32 = x_shift.astype(jnp.int32)
     w_valid = halo_axis is not None
-    h_valid = isinstance(halo_axis, tuple)
+    h_valid = isinstance(halo_axis, tuple) and halo_axis[0] is not None
     if h_valid:
         x_i32 = halo_exchange_2d(x_i32, w_int.shape[0] // 2, *halo_axis)
+    elif isinstance(halo_axis, tuple):
+        # (None, w_axes): W sharded over a combined axis group (multihost
+        # tail forward) — plain W exchange over the flattened axes
+        x_i32 = halo_exchange_w(x_i32, w_int.shape[0] // 2, halo_axis[1])
     elif w_valid:
         x_i32 = halo_exchange_w(x_i32, w_int.shape[0] // 2, halo_axis)
 

@@ -242,6 +242,47 @@ def test_multihost_stream_frames():
     np.testing.assert_array_equal(y_all, np.asarray(y_mono))
 
 
+def test_multihost_tail_forward_bit_exact():
+    """The tail forward (frames over host only, W over the combined
+    (dp, sp) axes) == monolithic — every chip does useful work on a
+    partial batch instead of recomputing padded frames."""
+    from sesr_tpu.parallel.multihost import (make_mesh_multihost,
+                                             multihost_tail_forward)
+
+    task = "nrdm_3"
+    g = _load_golden(task)
+    spec, params, qp = _golden_qparams(task, g)
+    mesh = make_mesh_multihost(n_hosts=2, dp=2, sp=2)
+
+    rng = np.random.default_rng(41)
+    x = rng.random((2, 12, 24, spec.in_channels), dtype=np.float32)
+    y_mono, _ = integer_forward(spec, qp, jnp.asarray(x))
+    y_tail = multihost_tail_forward(spec, qp, mesh)(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(y_tail), np.asarray(y_mono))
+
+
+def test_multihost_stream_tail_uses_tail_shape():
+    """A stream tail shorter than host*dp runs through the combined-axis
+    tail forward (padded with ZEROS over the host axis only), bit-exact
+    vs the monolithic forward on the real frames."""
+    from sesr_tpu.parallel import multihost as mh
+
+    task = "nrdm_3"
+    g = _load_golden(task)
+    spec, params, qp = _golden_qparams(task, g)
+    mesh = mh.make_mesh_multihost(n_hosts=2, dp=2, sp=2)
+
+    rng = np.random.default_rng(43)
+    frames = [rng.random((1, 12, 24, spec.in_channels), dtype=np.float32)
+              for _ in range(5)]                       # 4 + tail 1
+    outs = list(mh.stream_frames(spec, qp, mesh, frames))
+    assert [o.shape[0] for o in outs] == [4, 1]
+    y_all = np.concatenate([np.asarray(o) for o in outs], axis=0)
+    y_mono, _ = integer_forward(spec, qp,
+                                jnp.asarray(np.concatenate(frames, axis=0)))
+    np.testing.assert_array_equal(y_all, np.asarray(y_mono))
+
+
 def test_multihost_rejects_cross_host_halo():
     """dp*sp larger than one host's devices would put halos on DCN — the
     mesh builder must refuse."""
@@ -273,6 +314,82 @@ def test_sharded_packed_forward_bit_exact():
     y_mono = packed_fast_forward(spec, qp, jnp.asarray(x))
     y_shard = sharded_packed_forward(spec, qp, mesh)(jnp.asarray(x))
     np.testing.assert_array_equal(np.asarray(y_shard), np.asarray(y_mono))
+
+
+def test_sharded_packed_2d_bit_exact():
+    """The deployment packed datapath on the 2D (dp, sph, spw) spatial mesh
+    with per-layer one-cell 2D halos (corners via the two-hop exchange) ==
+    monolithic, bit-exactly — the pod-scale analog of the reference's own
+    2D tile walk (output.py:42-65) on the MXU-shaped lowering."""
+    import os
+    from sesr_tpu.parallel.tiling import (make_mesh_2d,
+                                          sharded_deployment_forward_2d)
+    from sesr_tpu.ops.packed import packed_fast_forward
+    from sesr_tpu.quant.params import QuantParams
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "artifacts",
+                        "qparams_sr_x2.npz")
+    if not os.path.exists(path):
+        pytest.skip("qparams_sr_x2.npz missing")
+    spec = spec_for_task("sr_x2")
+    qp = QuantParams.load(path)
+    mesh = make_mesh_2d(dp=2, sp_h=2, sp_w=2)
+
+    rng = np.random.default_rng(47)
+    # per shard: H 12 (mult of s_h=2), W 32 (mult of s_w=4)
+    x = rng.random((2, 24, 64, 3), dtype=np.float32)
+    y_mono = packed_fast_forward(spec, qp, jnp.asarray(x))
+    y_shard = sharded_deployment_forward_2d(spec, qp, mesh)(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(y_shard), np.asarray(y_mono))
+
+
+def test_sharded_packed_2d_hybrid_bit_exact():
+    """Same 2D mesh, layer-hybrid lowering (saturating task nr) == the
+    monolithic PE-exact interpreter."""
+    import os
+    from sesr_tpu.parallel.tiling import (make_mesh_2d,
+                                          sharded_deployment_forward_2d)
+    from sesr_tpu.quant.params import QuantParams
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "artifacts",
+                        "qparams_nr.npz")
+    if not os.path.exists(path):
+        pytest.skip("qparams_nr.npz missing")
+    spec = spec_for_task("nr")
+    qp = QuantParams.load(path)
+    assert not qp.fast_cert_ok and any(qp.fast_cert_layers)
+    mesh = make_mesh_2d(dp=2, sp_h=2, sp_w=2)
+
+    rng = np.random.default_rng(53)
+    x = rng.random((2, 24, 64, 3), dtype=np.float32)
+    y_mono, _ = integer_forward(spec, qp, jnp.asarray(x), corrected=True)
+    y_shard = sharded_deployment_forward_2d(spec, qp, mesh)(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(y_shard), np.asarray(y_mono))
+
+
+def test_multihost_packed_2d_bit_exact():
+    """(host, dp, sph, spw) pod mesh: frames over host x dp, 2D spatial
+    halos within a host — the packed deployment path at pod scale."""
+    import os
+    from sesr_tpu.parallel.multihost import (make_mesh_multihost_2d,
+                                             multihost_packed_forward_2d)
+    from sesr_tpu.ops.packed import packed_fast_forward
+    from sesr_tpu.quant.params import QuantParams
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "artifacts",
+                        "qparams_sr_x2.npz")
+    if not os.path.exists(path):
+        pytest.skip("qparams_sr_x2.npz missing")
+    spec = spec_for_task("sr_x2")
+    qp = QuantParams.load(path)
+    mesh = make_mesh_multihost_2d(n_hosts=2, dp=1, sp_h=2, sp_w=2)
+    assert mesh.shape == {"host": 2, "dp": 1, "sph": 2, "spw": 2}
+
+    rng = np.random.default_rng(59)
+    x = rng.random((2, 24, 64, 3), dtype=np.float32)
+    y_mono = packed_fast_forward(spec, qp, jnp.asarray(x))
+    y_mh = multihost_packed_forward_2d(spec, qp, mesh)(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(y_mh), np.asarray(y_mono))
 
 
 def test_sharded_hybrid_forward_bit_exact():
