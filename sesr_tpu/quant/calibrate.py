@@ -112,11 +112,11 @@ def _fq_conv_layer(x_fq, w_fq, bias_f, scale, zero, w_scale: float,
     return y + b_q
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 6, 7, 8))
 def _calibration_forward_impl(spec: SESRSpec, fq_weights, x,
                               hw: HardwareConfig, exact_pe: bool,
                               hist_bounds=None, collect_hist: bool = False,
-                              axes=None):
+                              axes=None, qat_add_bounds=None):
     w_fq, w_scales, biases = fq_weights
     L = spec.num_convs
     lows, highs, hists = [], [], []
@@ -139,7 +139,16 @@ def _calibration_forward_impl(spec: SESRSpec, fq_weights, x,
     c0 = None
     for i in range(L):
         if i == L - 1:
-            h = h + c0                                  # outer residual add
+            if qat_add_bounds is not None:
+                # qatf="qat_" composition: the model's AddOp was swapped
+                # for QuantAdd (prepare, test.py:61-63), which fx bakes
+                # into a fake-quant with a scale FROZEN from the
+                # checkpoint's observer buffers (quant/qat.py
+                # quant_add_frozen)
+                from sesr_tpu.quant.qat import quant_add_frozen
+                h = quant_add_frozen(h, c0, *qat_add_bounds, hw.quan_bits)
+            else:
+                h = h + c0                              # outer residual add
         observe(h, i)
         h_fq, _, _, scale, zero = _dynamic_fake_quant(h, hw.quan_bits, axes)
         if axes is not None:
@@ -173,10 +182,15 @@ def _prep_fq_weights(params: CollapsedParams, hw: HardwareConfig):
 
 
 def calibration_forward(spec: SESRSpec, params: CollapsedParams, x,
-                        hw: HardwareConfig = DEFAULT_HW, exact_pe: bool = True):
-    """Single-image fake-quant forward. Returns (y, minmax[(2, L+1)])."""
+                        hw: HardwareConfig = DEFAULT_HW, exact_pe: bool = True,
+                        qat_add_bounds=None):
+    """Single-image fake-quant forward. Returns (y, minmax[(2, L+1)]).
+    qat_add_bounds: (union_lo, union_hi) for the qatf="qat_" composition's
+    frozen QuantAdd at the outer residual (quant/qat.py quant_add_frozen;
+    io/torch_import.py load_qat_add_bounds)."""
     fq_weights, _, _ = _prep_fq_weights(params, hw)
-    return _calibration_forward_impl(spec, fq_weights, x, hw, exact_pe)
+    return _calibration_forward_impl(spec, fq_weights, x, hw, exact_pe,
+                                     None, False, None, qat_add_bounds)
 
 
 def fake_quant_forward(spec: SESRSpec, params: CollapsedParams, x,
@@ -193,7 +207,8 @@ def calibrate(spec: SESRSpec, params: CollapsedParams,
               force_output_min_zero: bool = True,
               observer: str = "minmax",
               percentile: float = 0.9999,
-              safe_zero_floor: bool = False) -> QuantParams:
+              safe_zero_floor: bool = False,
+              qat_add_bounds=None) -> QuantParams:
     """Run the calibration set through the fake-quant pipeline and finalize
     a complete QuantParams (test.py eval loop + :186-217 finalize).
 
@@ -201,13 +216,19 @@ def calibrate(spec: SESRSpec, params: CollapsedParams,
     "kl" (KL-entropy — the strategy the reference abandoned, define.py:16-20;
     see quant/observers.py). Histogram observers take a second pass that
     accumulates per-domain 2048-bin histograms on device.
+
+    qat_add_bounds: (union_lo, union_hi) to replicate the qatf="qat_"
+    composition's frozen QuantAdd at the outer residual add (see
+    quant/qat.py quant_add_frozen).
     """
     fq_weights, w_int, w_scale = _prep_fq_weights(params, hw)
     L = spec.num_convs
     calib = CalibState.fresh(L + 1)
     for img in images:
         x = jnp.asarray(img, jnp.float32)
-        _, minmax = _calibration_forward_impl(spec, fq_weights, x, hw, exact_pe)
+        _, minmax = _calibration_forward_impl(spec, fq_weights, x, hw,
+                                              exact_pe, None, False, None,
+                                              qat_add_bounds)
         mm = np.asarray(minmax, np.float64)
         for d in range(L + 1):
             calib.update(d, mm[0, d], mm[1, d])

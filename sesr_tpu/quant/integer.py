@@ -218,11 +218,12 @@ def _requant_out(y_i32, i: int, L: int, qp: QuantParams):
     return y, extras
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7, 8))
 def _integer_forward_impl(spec: SESRSpec, x, qp_static: QuantParams,
                           collect: bool, halo_axis=None,
                           corrected: bool = False, compute: str = "bf16",
-                          residual_mode: str = "sim"):
+                          residual_mode: str = "sim",
+                          qat_add_bounds=None):
     L = spec.num_convs
     qp = qp_static
     if compute == "fast" and not getattr(qp, "fast_cert_ok", False):
@@ -237,14 +238,25 @@ def _integer_forward_impl(spec: SESRSpec, x, qp_static: QuantParams,
     shortcut = None
     overflows = []
     for i in range(L):
-        if i == L - 1 and residual_mode == "graph_add":
+        if i == L - 1 and residual_mode in ("graph_add", "graph_add_qat"):
             # Upstream MFLAG 1/2 quirk: sim.py:33-41 runs the NON-sim models
             # (nr.nr()/dm.dm()), whose in-graph AddOp feeds branch+shortcut
             # into the last conv's quant function — which then loads the
             # shortcut from disk and adds it AGAIN (quan_func.py:248-252).
             # The shortcut is therefore double-counted. Replicated only for
             # oracle parity with the dm/nr goldens; deployment uses "sim".
-            h = h + shortcut
+            # "graph_add_qat": the qatf="qat_" composition additionally
+            # swaps the AddOp for QuantAdd (prepare, test.py:61-63), which
+            # the fx trace bakes into a fake-quant of both operands with a
+            # scale FROZEN from the checkpoint's observer buffers
+            # (quant/qat.py quant_add_frozen; qat_add_bounds = the
+            # checkpoint's union observer min/max).
+            if residual_mode == "graph_add_qat":
+                from sesr_tpu.quant.qat import quant_add_frozen
+                h = quant_add_frozen(h, shortcut, *qat_add_bounds,
+                                     qp.hw.quan_bits)
+            else:
+                h = h + shortcut
         x_q, x_shift = _quantize_domain_in(h, i, L, qp, shortcut, corrected)
         pe_out, pe_add, y, ovf = _integer_conv_pe(x_shift, i, qp,
                                                   halo_axis=halo_axis,
@@ -283,7 +295,7 @@ def _integer_forward_impl(spec: SESRSpec, x, qp_static: QuantParams,
 def integer_forward(spec: SESRSpec, qp: QuantParams, x,
                     collect_dumps: bool = False, halo_axis=None,
                     corrected: bool = False, compute: str = "bf16",
-                    residual_mode: str = "sim"):
+                    residual_mode: str = "sim", qat_add_bounds=None):
     """Bit-exact integer forward. x: NHWC float in [0, 1].
 
     Returns (y, dumps). y is the dequantized float output (reference
@@ -304,10 +316,14 @@ def integer_forward(spec: SESRSpec, qp: QuantParams, x,
     function); "graph_add" replicates the MFLAG 1/2 composition where the
     model's AddOp is still in the graph and the shortcut is double-counted
     (see _integer_forward_impl) — oracle-parity mode for the dm/nr goldens.
+    "graph_add_qat" additionally applies the QuantAdd fake-quant with the
+    frozen checkpoint scale (``qat_add_bounds`` = (union_lo, union_hi) from
+    io/torch_import.py load_qat_add_bounds) — the qatf="qat_" composition.
     """
     x = jnp.asarray(x, jnp.float32)
     return _integer_forward_impl(spec, x, _hashable(qp), collect_dumps,
-                                 halo_axis, corrected, compute, residual_mode)
+                                 halo_axis, corrected, compute, residual_mode,
+                                 qat_add_bounds)
 
 
 class _hashable:

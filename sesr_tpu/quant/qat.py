@@ -286,6 +286,49 @@ def qat_forward(spec: SESRSpec, cfg: QATConfig, params: ExpandedParams,
     return y, QATState(tuple(new_convs), new_add)
 
 
+def quant_add_scale_from_bounds(lo: float, hi: float, bits: int = 8) -> float:
+    """The frozen QuantAdd scale: max(|lo|, |hi|) / 127.5 with the f32 eps
+    floor (SymmetricQuantizer.update_qparams, quantize_utils_cuda.py:
+    298-311), computed in float32 exactly as torch does at trace time."""
+    qmin, qmax = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    quant_range = np.float32((qmax - qmin) / 2.0)
+    float_range = np.float32(max(abs(np.float32(lo)), abs(np.float32(hi))))
+    return float(np.maximum(np.float32(float_range / quant_range),
+                            np.float32(np.finfo(np.float32).eps)))
+
+
+def quant_add_frozen(res, shortcut, union_lo: float, union_hi: float,
+                     bits: int = 8):
+    """QuantAdd as it actually executes inside the reference's fx-composed
+    qatf="qat_" pipeline (test.py:61-63 + the insert passes): a fake-quant
+    of both operands with a scale FROZEN at trace time from the
+    checkpoint's observer buffers.
+
+    QuantAdd.forward (quantize_utils_cuda.py:697-711) nominally keeps
+    running observers — but torch.fx.symbolic_trace INLINES the custom
+    module, and at trace time the union min/max are read from the CONCRETE
+    buffers (the values load_state_dict restored from the QAT checkpoint),
+    so update_qparams runs concretely and the scale is baked into the
+    graph as a tensor constant (`input / _tensor_constant0` in the traced
+    code — verified by printing gm.code for the prepared nr model). The
+    runtime observer copy_ nodes still execute but their results are never
+    read again: dead stores. Semantics therefore: a FIXED symmetric
+    activation fake-quant with scale = max(|union_lo|, |union_hi|)/127.5
+    from the checkpoint's add_residual observer values, applied to each
+    operand, then added."""
+    qmin, qmax = float(-(1 << (bits - 1))), float((1 << (bits - 1)) - 1)
+    scale = jnp.float32(quant_add_scale_from_bounds(union_lo, union_hi,
+                                                    bits))
+
+    def fq(x):
+        t = x / scale
+        q = jnp.clip(jnp.sign(t) * jnp.floor(jnp.abs(t) + jnp.float32(0.5)),
+                     qmin, qmax)
+        return q * scale
+
+    return fq(res) + fq(shortcut)
+
+
 # --------------------------------------------------------------------------
 # quantized activation ops (library completeness: the reference also ships
 # QuantReLU :527-568, QuantLeakyReLU :570-612, QuantAdaptiveAvgPool2d

@@ -61,7 +61,8 @@ def conv_per_mac_saturating(x_nhwc, w_hwio, acc_bits: int = 18):
     return acc
 
 
-def strict_integer_forward(spec, qp, x, residual_mode: str = "sim"):
+def strict_integer_forward(spec, qp, x, residual_mode: str = "sim",
+                           qat_add_bounds=None):
     """Whole-network strict integer forward — the generalized port of the
     reference's hand-unrolled `sesr_forward_sim` (quan_modules.py:101-201).
 
@@ -103,8 +104,13 @@ def strict_integer_forward(spec, qp, x, residual_mode: str = "sim"):
     h = x
     shortcut = None
     for i in range(L):
-        if i == L - 1 and residual_mode == "graph_add":
-            h = h + shortcut
+        if i == L - 1 and residual_mode in ("graph_add", "graph_add_qat"):
+            if residual_mode == "graph_add_qat":
+                from sesr_tpu.quant.qat import quant_add_frozen
+                h = quant_add_frozen(h, shortcut, *qat_add_bounds,
+                                     hw.quan_bits)
+            else:
+                h = h + shortcut
         x_q, x_shift = _quantize_domain_in(h, i, L, qp, shortcut)
         x_i32 = x_shift.astype(jnp.int32)
         zero_eff = qp.effective_zero(i)

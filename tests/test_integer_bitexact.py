@@ -30,9 +30,23 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 # Every task with a reference-generated golden. nr/dm run the reference's
 # MFLAG 1/2 sim composition, where the model's AddOp stays in the integer
 # graph and the shortcut is double-counted (quant/integer.py
-# residual_mode="graph_add").
-GOLDEN_TASKS = ["nrdm_3", "sr_x4", "sr_x2", "nr", "dm"]
-RESIDUAL_MODE = {"nr": "graph_add", "dm": "graph_add"}
+# residual_mode="graph_add"). nr_qat is the qatf="qat_" composition on the
+# QAT-trained nr_qat_G.pth weights: prepare() before load, fake-quant
+# delta-response collapse, and the AddOp swapped for QuantAdd (which the
+# fx trace bakes into a stateless per-image dynamic union fake-quant —
+# quant/qat.py quant_add_dynamic).
+GOLDEN_TASKS = ["nrdm_3", "sr_x4", "sr_x2", "nr", "dm", "nr_qat"]
+RESIDUAL_MODE = {"nr": "graph_add", "dm": "graph_add",
+                 "nr_qat": "graph_add_qat"}
+SPEC_TASK = {"nr_qat": "nr"}          # golden task -> model spec
+QAT_ADD = {"nr_qat"}                  # tasks whose composition has QuantAdd
+
+
+def _qat_bounds(task, g):
+    """(union_lo, union_hi) frozen into the QuantAdd scale, or None."""
+    if task not in QAT_ADD:
+        return None
+    return (float(g["qat_add_lo"]), float(g["qat_add_hi"]))
 
 
 def _load_golden(task):
@@ -51,7 +65,7 @@ def _collapsed_params(g):
 
 def _golden_qparams(task, g):
     """QuantParams derived from the golden float weights + golden min/max."""
-    spec = spec_for_task(task)
+    spec = spec_for_task(SPEC_TASK.get(task, task))
     L, params = _collapsed_params(g)
     w_int, w_scale = quantize_weights([np.asarray(w) for w in params.weights])
     calib = CalibState(
@@ -101,7 +115,8 @@ class TestBitExact:
         L = qp.num_convs
         x = jnp.asarray(g["fixture"].transpose(0, 2, 3, 1))     # NCHW -> NHWC
         y, dumps = integer_forward(spec, qp, x, collect_dumps=True,
-                                   residual_mode=RESIDUAL_MODE.get(task, "sim"))
+                                   residual_mode=RESIDUAL_MODE.get(task, "sim"),
+                                   qat_add_bounds=_qat_bounds(task, g))
 
         def nchw(a):
             return np.asarray(a).transpose(0, 3, 1, 2)
@@ -125,11 +140,11 @@ class TestBitExact:
         """Our own fake-quant calibration agrees with the reference's
         observed min/max up to f32 conv reassociation noise."""
         g = _load_golden(task)
-        spec = spec_for_task(task)
+        spec = spec_for_task(SPEC_TASK.get(task, task))
         L, params = _collapsed_params(g)
         imgs = [g[f"calib_img_{j}"].transpose(0, 2, 3, 1)
                 for j in range(int(g["n_calib"]))]
-        qp = calibrate(spec, params, imgs)
+        qp = calibrate(spec, params, imgs, qat_add_bounds=_qat_bounds(task, g))
         # f32 conv reassociation (torch vs XLA) can flip a rounding at an
         # early layer; the flip cascades through the dynamic fake-quant of
         # later layers, so deep domains carry a few quantization steps of
@@ -142,11 +157,12 @@ class TestBitExact:
 
     def test_fake_quant_outputs_close(self, task):
         g = _load_golden(task)
-        spec = spec_for_task(task)
+        spec = spec_for_task(SPEC_TASK.get(task, task))
         L, params = _collapsed_params(g)
         for j in range(int(g["n_calib"])):
             x = jnp.asarray(g[f"calib_img_{j}"].transpose(0, 2, 3, 1))
-            y, _ = calibration_forward(spec, params, x)
+            y, _ = calibration_forward(spec, params, x,
+                                       qat_add_bounds=_qat_bounds(task, g))
             y_ref = g[f"fake_out_{j}"].transpose(0, 2, 3, 1)
             diff = np.abs(np.asarray(y) - y_ref)
             # Values landing exactly on a round-to-int8 boundary can flip by
@@ -164,6 +180,24 @@ class TestBitExact:
             lsb_max = max(float(g[f"a_scale_{d}"]) for d in range(L + 1))
             assert diff.max() <= lsb_max, (diff.max(), lsb_max)
             assert diff.mean() <= 2 * float(g[f"a_scale_{L}"]), diff.mean()
+
+
+def test_qat_collapse_parity():
+    """The repo's fake-quant delta-response collapse
+    (io/torch_import.py collapse_state_dict_qat) matches the reference's
+    prepare->load->collapse on the QAT checkpoint within f32 contraction
+    reassociation (torch sgemm vs np.einsum order differ in the last ulp
+    over the 256-channel squeeze axis)."""
+    from sesr_tpu.io.torch_import import load_reference_checkpoint
+
+    g = _load_golden("nr_qat")
+    params = load_reference_checkpoint("nr", qat=True)
+    for i in range(int(g["num_convs"])):
+        ref = g[f"w_collapsed_{i}"]
+        got = np.asarray(params.weights[i]).transpose(3, 2, 0, 1)
+        np.testing.assert_allclose(got, ref, atol=4e-7, rtol=0)
+        np.testing.assert_array_equal(np.asarray(params.biases[i]),
+                                      g[f"b_collapsed_{i}"])
 
 
 @pytest.mark.parametrize("task", ["nrdm_3", "sr_x4"])
