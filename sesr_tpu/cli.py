@@ -161,6 +161,23 @@ def cmd_train(args):
         data = list(TrainBayerDataset(args.data))
     else:
         data = list(_dataset(args.task, args))
+    def preview(it):
+        # training observability: dump the current model's output on the
+        # first training sample as a PNG (reference train.py:80-86, its
+        # only training-time observability — every 10 epochs there)
+        if not args.preview_dir or args.preview_every <= 0:
+            return
+        from PIL import Image
+        from sesr_tpu.models.expanded import forward_expanded
+        os.makedirs(args.preview_dir, exist_ok=True)
+        y = np.asarray(forward_expanded(spec, params,
+                                        jnp.asarray(data[0][0])))[0]
+        img = np.clip(y, 0.0, 1.0)
+        if img.shape[-1] == 1:
+            img = img[:, :, 0]
+        Image.fromarray((img * 255.0 + 0.5).astype(np.uint8)).save(
+            os.path.join(args.preview_dir, f"preview_{it:06d}.png"))
+
     t0 = time.time()
     for it in range(start, start + args.steps):
         # loaders may yield (inp, gt) or (inp, gt, variance); training
@@ -170,6 +187,8 @@ def cmd_train(args):
             params, qstate, opt_state, (jnp.asarray(inp), jnp.asarray(gt)))
         if (it - start) % max(1, args.steps // 10) == 0:
             print(f"step {it}: loss {float(loss):.6f}")
+        if args.preview_every > 0 and (it + 1) % args.preview_every == 0:
+            preview(it + 1)
         if args.resume and (it + 1) % args.save_every == 0:
             save_training_state(args.resume, params, qstate, opt_state, it + 1)
     if args.resume:
@@ -287,6 +306,10 @@ def main(argv=None):
     p.add_argument("--resume", default=None,
                    help="training-state file to checkpoint to / resume from")
     p.add_argument("--save-every", type=int, default=50)
+    p.add_argument("--preview-dir", default=None,
+                   help="dump progress PNGs here (train.py:80-86 analog)")
+    p.add_argument("--preview-every", type=int, default=0,
+                   help="steps between preview PNGs (0 = off)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("infer", help="deployment inference on the certified "

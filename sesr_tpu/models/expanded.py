@@ -92,3 +92,28 @@ def collapse_expanded(spec: SESRSpec, params: ExpandedParams) -> CollapsedParams
         weights.append(np.ascontiguousarray(oihw_to_hwio(w)))
         biases.append(b)
     return CollapsedParams(weights, biases)
+
+
+def collapse_expanded_qat(spec: SESRSpec,
+                          params: ExpandedParams) -> CollapsedParams:
+    """Collapse QAT-trained ExpandedParams THROUGH the fake-quant delta
+    response (io/torch_import.py qat_collapse_block) — the composition the
+    reference's own qatf deployment uses (prepare -> collapse).
+
+    Measured (tools/qat_value.py, sr_x4): collapsing QAT weights with the
+    float analytic contraction forfeits ~0.4 dB of deployment INT8 PSNR;
+    the fake-quant-consistent collapse reproduces the noise the weights
+    were trained under and drives the own-float -> int8 quantization gap
+    to ~0."""
+    from sesr_tpu.io.torch_import import qat_collapse_block
+
+    weights, biases = [], []
+    for i, blk in enumerate(params.blocks):
+        w_exp = np.transpose(np.asarray(blk.w_expand), (3, 2, 0, 1))
+        w_sq = np.transpose(np.asarray(blk.w_squeeze), (3, 2, 0, 1))
+        w, b = qat_collapse_block(w_exp, w_sq, np.asarray(blk.b_squeeze))
+        if 0 < i < spec.num_convs - 1:
+            w = fold_residual_identity(w)
+        weights.append(np.ascontiguousarray(oihw_to_hwio(w)))
+        biases.append(b)
+    return CollapsedParams(weights, biases)

@@ -67,6 +67,11 @@ def calibration_images(task: str, n: int, images_dir=None, n_real: int = 4):
     return imgs
 
 
+# per-task observer winners on held-out real-pixel crops
+# (tools/observer_study.py, seed-77 eval; table in BASELINE.md)
+OBSERVER_DEFAULTS = {"sr_x2": "kl", "sr_x4": "kl"}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tasks", nargs="*", default=sorted(TASKS))
@@ -76,9 +81,16 @@ def main():
     ap.add_argument("--n-images", type=int, default=8)
     ap.add_argument("--n-real", type=int, default=4,
                     help="real-photo crops appended to the calibration set")
-    ap.add_argument("--observer", default="minmax",
+    ap.add_argument("--observer", default=None,
                     choices=("minmax", "percentile", "kl"),
-                    help="activation-range observer (quant/observers.py)")
+                    help="activation-range observer (quant/observers.py); "
+                         "default = the per-task winner of the held-out "
+                         "real-pixel ablation (tools/observer_study.py): "
+                         "KL for the SR tasks (+0.12/+0.27 dB over minmax "
+                         "on sr_x4/sr_x2), minmax for the raw-domain tasks "
+                         "(KL clips the sparse Bayer activation ranges "
+                         "catastrophically, -13 dB; percentile is within "
+                         "noise of minmax everywhere)")
     ap.add_argument("--out-dir", default=os.path.join(REPO, "artifacts"))
     args = ap.parse_args()
 
@@ -88,8 +100,9 @@ def main():
         params = load_reference_checkpoint(task)
         images = calibration_images(task, args.n_images, args.images,
                                     args.n_real)
+        observer = args.observer or OBSERVER_DEFAULTS.get(task, "minmax")
         qp = calibrate(spec, params, images, safe_zero_floor=True,
-                       observer=args.observer)
+                       observer=observer)
         qp = certify_fast(spec, qp, images)
         out = os.path.join(args.out_dir, f"qparams_{task}.npz")
         qp.save(out)

@@ -1,0 +1,115 @@
+"""Observer ablation: minmax vs percentile vs KL-entropy calibration,
+scored as deployment INT8 PSNR/SSIM on held-out real-pixel crops.
+
+The reference designed a KL-entropy calibration option and abandoned it
+(define.py:16-20, "舍弃KL"); quant/observers.py restores KL and percentile.
+Round 2 shipped the mechanics untested for VALUE — this study answers what
+they buy (VERDICT r2 "what's missing" #3):
+
+- calibration set = the shipped-artifact recipe (tools/make_qparams.py
+  calibration_images: synthetic natural-image pipeline + real-photo crops,
+  seed 0);
+- evaluation set = DIFFERENT real-photo crops (RealImageDataset seed 77),
+  scored through integer_forward(corrected=True, safe_zero_floor
+  calibration) — the deployment datapath;
+- per task and observer: PSNR/SSIM + whether the fast certificate holds
+  (an observer that clips ranges can CHANGE saturation behaviour).
+
+Usage: python tools/observer_study.py [--tasks ...] [--markdown]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from sesr_tpu.config import TASKS  # noqa: E402
+from sesr_tpu.data.datasets import RealImageDataset  # noqa: E402
+from sesr_tpu.io.torch_import import load_reference_checkpoint  # noqa: E402
+from sesr_tpu.metrics import evaluate_pair  # noqa: E402
+from sesr_tpu.models.sesr import forward_float  # noqa: E402
+from sesr_tpu.quant.calibrate import calibrate  # noqa: E402
+from sesr_tpu.quant.certify import certify_fast  # noqa: E402
+from sesr_tpu.quant.integer import integer_forward  # noqa: E402
+
+sys.path.insert(0, os.path.join(REPO, "tools"))
+from make_qparams import calibration_images  # noqa: E402
+
+OBSERVERS = ("minmax", "percentile", "kl")
+
+
+def study_task(task: str, n_eval: int = 6):
+    spec = TASKS[task]
+    params = load_reference_checkpoint(task)
+    calib_imgs = calibration_images(task, 8, None, 4)
+    eval_data = list(RealImageDataset(task, n=n_eval, hw=(96, 128), seed=77))
+
+    results = {}
+    fp32 = []
+    for inp, gt in eval_data:
+        y = forward_float(spec, params, jnp.asarray(inp))
+        fp32.append(evaluate_pair(task, np.asarray(y)[0], gt[0], inp[0]))
+    results["fp32"] = (float(np.mean([p for p, _ in fp32])),
+                      float(np.mean([s for _, s in fp32])), "")
+
+    for obs in OBSERVERS:
+        qp = calibrate(spec, params, calib_imgs, observer=obs,
+                       safe_zero_floor=True)
+        qp = certify_fast(spec, qp, calib_imgs)
+        scores = []
+        for inp, gt in eval_data:
+            y, _ = integer_forward(spec, qp, jnp.asarray(inp),
+                                   corrected=True)
+            scores.append(evaluate_pair(task, np.asarray(y)[0], gt[0],
+                                        inp[0]))
+        results[obs] = (float(np.mean([p for p, _ in scores])),
+                        float(np.mean([s for _, s in scores])),
+                        qp.cert_grade)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tasks", nargs="*", default=sorted(TASKS))
+    ap.add_argument("--n-eval", type=int, default=6)
+    ap.add_argument("--markdown", action="store_true")
+    args = ap.parse_args()
+
+    sep = "|" if args.markdown else " "
+    hdr = ["task", "FP32"] + [f"int8({o})" for o in OBSERVERS] + ["winner"]
+    if args.markdown:
+        print("| " + " | ".join(hdr) + " |")
+        print("|" + "---|" * len(hdr))
+    else:
+        print(f"{'task':8} {'FP32':>13} " +
+              " ".join(f"{('int8(' + o + ')'):>19}" for o in OBSERVERS) +
+              "  winner")
+    for task in args.tasks:
+        r = study_task(task, args.n_eval)
+        best = max(OBSERVERS, key=lambda o: r[o][0])
+        cells = [task, f"{r['fp32'][0]:.2f}/{r['fp32'][1]:.3f}"]
+        for o in OBSERVERS:
+            p, s, grade = r[o]
+            cells.append(f"{p:.2f}/{s:.3f} [{grade}]")
+        cells.append(best)
+        if args.markdown:
+            print("| " + " | ".join(cells) + " |")
+        else:
+            print(f"{cells[0]:8} {cells[1]:>13} " +
+                  " ".join(f"{c:>19}" for c in cells[2:-1]) +
+                  f"  {cells[-1]}")
+
+
+if __name__ == "__main__":
+    main()
