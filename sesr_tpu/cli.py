@@ -236,6 +236,34 @@ def cmd_infer(args):
           f"ssim: {tot_s/n:.4f}  ({n} images)")
 
 
+def cmd_certify(args):
+    """Re-run the fast-mode certification of an artifact on a chosen data
+    source and print the per-layer stamps (S = statically proven for ALL
+    inputs, F = empirically fast-safe on this set, x = saturates)."""
+    from sesr_tpu.config import spec_for_task
+    from sesr_tpu.quant.certify import certify_fast, static_layer_stamps
+    from sesr_tpu.quant.params import QuantParams
+
+    spec = spec_for_task(args.task)
+    qp = QuantParams.load(args.qparams)
+    images = [inp for inp, *_ in _dataset(args.task, args)]
+    qp2 = certify_fast(spec, qp, images)
+    stamps = "".join(
+        "S" if s else ("F" if f else "x")
+        for f, s in zip(qp2.fast_cert_layers, qp2.fast_cert_static))
+    print(f"{args.task}: grade={qp2.cert_grade} layers={stamps} "
+          f"over {qp2.fast_cert_images} images")
+    static_n = sum(qp2.fast_cert_static)
+    print(f"  {static_n}/{qp2.num_convs} layers statically proven "
+          f"(input-independent interval bound); "
+          f"{sum(qp2.fast_cert_layers) - static_n} empirically safe; "
+          f"{qp2.num_convs - sum(qp2.fast_cert_layers)} saturate "
+          f"(PE-exact lowering only)")
+    if args.out:
+        qp2.save(args.out)
+        print(f"stamped artifact -> {args.out}")
+
+
 def cmd_hist(args):
     from sesr_tpu.config import spec_for_task
     from sesr_tpu.quant.observers import dump_histograms
@@ -319,6 +347,14 @@ def main(argv=None):
     p.add_argument("--cells", default="2x4",
                    help="packing cell size s_h x s_w (default 2x4)")
     p.set_defaults(fn=cmd_infer)
+
+    p = sub.add_parser("certify", help="fast-mode certification stamps "
+                                       "(quant/certify.py)")
+    common(p)
+    p.add_argument("--qparams", required=True)
+    p.add_argument("--out", default=None,
+                   help="save the re-stamped artifact here")
+    p.set_defaults(fn=cmd_certify)
 
     p = sub.add_parser("hist", help="weight/activation histogram PNGs "
                                     "(define.py:34-36 debug dumps)")

@@ -84,3 +84,24 @@ def test_cli_eval_float_real_data(capsys):
     assert "psnr" in out
     psnr = float(out.split("psnr:")[1].split()[0])
     assert psnr > 20.0
+
+
+@needs_artifact
+def test_cli_certify(tmp_path, capsys):
+    out_path = str(tmp_path / "stamped.npz")
+    main(["certify", "--task", "sr_x2", "--qparams", QP_SR_X2,
+          "--n-images", "2", "--out", out_path])
+    out = capsys.readouterr().out
+    assert "grade=" in out and "statically proven" in out
+    assert os.path.exists(out_path)
+    from sesr_tpu.quant.params import QuantParams
+    qp = QuantParams.load(out_path)
+    assert qp.fast_cert_static is not None
+
+
+@needs_artifact
+def test_cli_train_preview(tmp_path, capsys):
+    main(["train", "--task", "sr_x2", "--steps", "2", "--n-images", "1",
+          "--preview-dir", str(tmp_path / "pv"), "--preview-every", "1"])
+    files = sorted(os.listdir(tmp_path / "pv"))
+    assert files == ["preview_000001.png", "preview_000002.png"], files
