@@ -186,17 +186,30 @@ def main():
             "packed_2x4_b8": (8, lambda c: _packed_fast_impl(spec, c, qp,
                                                              (2, 4))),
         }
-        # resolution scaling: full-HD input -> 4K output, same path
+        # resolution scaling: full-HD input -> 4K output — monolithic vs
+        # the in-chip slab tiling (ops/slab.py keeps the packed working
+        # set resident), interleaved in this same process
+        from sesr_tpu.ops.slab import packed_slab_forward
         x_hd = jax.device_put(jnp.asarray(
             rng.random((1, 1080, 1920, spec.in_channels), dtype=np.float32)))
+        hd_cands = {
+            "packed_2x4_1080p_in": lambda c: _packed_fast_impl(
+                spec, c, qp, (2, 4)),
+            "packed_2x4_1080p_slab": lambda c: packed_slab_forward(
+                spec, qp.qp, c, s=(2, 4)),
+        }
+        hd_vals = {k: [] for k in hd_cands}
         try:
-            vals = [measure(lambda c: _packed_fast_impl(spec, c, qp, (2, 4)),
-                            x_hd, spec) for _ in range(3)]
-            log(f"bench: packed_2x4_1080p_in: "
-                f"{statistics.median(vals):.1f} Mpx/s "
-                f"({[round(v, 1) for v in vals]})")
+            for _ in range(3):
+                for name, fn in hd_cands.items():
+                    hd_vals[name].append(measure(fn, x_hd, spec))
+            for name, vals in hd_vals.items():
+                log(f"bench: {name}: {statistics.median(vals):.1f} Mpx/s "
+                    f"({[round(v, 1) for v in vals]})")
         except Exception as e:
-            log(f"bench: packed_2x4_1080p_in: FAILED {str(e)[:120]}")
+            log(f"bench: 1080p probes: FAILED {str(e)[:120]}")
+        extra["packed_2x4_b8_serial"] = (8, lambda c: packed_slab_forward(
+            spec, qp.qp, c, s=(2, 4), batch_serial=True))
         # the saturating task's layer-hybrid path (PE-exact on its one
         # saturating layer, fast on the rest) vs all-PE-exact
         nr_path = os.path.join(REPO, "artifacts", "qparams_nr.npz")

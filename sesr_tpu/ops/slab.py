@@ -65,18 +65,20 @@ def pick_slab_h(spec: SESRSpec, H: int, target: int = 272) -> int:
 
 def packed_slab_forward(spec: SESRSpec, qp: QuantParams, x, s=(2, 4),
                         slab_h: Optional[int] = None, fwd=None,
-                        batch_serial: bool = False):
+                        batch_serial: bool = False, unroll: bool = True):
     """Channel-packed deployment forward over H-slabs. x: NHWC float in
     [0, 1]. Bit-identical to the monolithic packed forward
-    (tests/test_slab.py), at large-frame throughput.
+    (tests/test_slab.py).
 
     slab_h: interior rows per slab (None: pick_slab_h; pass H or more to
     disable slabbing). fwd: packed lowering fn(spec, qp, x, s) — defaults
     to the certificate-selected one (ops/packed.py select_packed_forward).
-    batch_serial: additionally run frames of a batch sequentially (one
-    frame's working set at a time) — the fix for the round-2 finding that
-    batching HURTS on this chip (batch 8 ran ~420 vs ~610 Mpx/s at batch 1
-    because the batched conv multiplies the live working set).
+    batch_serial: run frames of a batch one at a time.
+    unroll: emit slabs as independent unrolled subgraphs (XLA schedules
+    them; default) instead of a lax.map while-loop — measured on the
+    tunneled v5e, the while-loop form collapses to ~86 Mpx/s at 1080p
+    (per-iteration overhead dominates; tools/bench_probe_r3a/b.py) while
+    the unrolled form is the faster-or-equal variant.
     """
     if fwd is None:
         _mode, fwd = select_packed_forward(qp)
@@ -86,9 +88,15 @@ def packed_slab_forward(spec: SESRSpec, qp: QuantParams, x, s=(2, 4),
         slab_h = pick_slab_h(spec, H)
 
     if batch_serial and n > 1:
+        if unroll:
+            return jnp.concatenate(
+                [packed_slab_forward(spec, qp, x[i:i + 1], s, slab_h, fwd,
+                                     batch_serial=False, unroll=True)
+                 for i in range(n)], axis=0)
+
         def one_frame(xf):
             return packed_slab_forward(spec, qp, xf[None], s, slab_h, fwd,
-                                       batch_serial=False)[0]
+                                       batch_serial=False, unroll=False)[0]
         return lax.map(one_frame, x)
 
     R = receptive_radius(spec)
@@ -113,6 +121,16 @@ def packed_slab_forward(spec: SESRSpec, qp: QuantParams, x, s=(2, 4),
         assert start == 0 or g - start >= R            # cut top far enough
         assert start + h_s == H or h_s - (g - start + slab_h) >= R
 
+    overlap = (gs[-2] + slab_h - gs[-1]) if n_slabs > 1 else 0
+    if unroll:
+        # static slices, one subgraph per slab, concatenated
+        pieces = []
+        for i in range(n_slabs):
+            y = fwd(spec, qp, x[:, starts[i]:starts[i] + h_s], s=s)
+            lo = offs[i] * r + (overlap * r if i == n_slabs - 1 else 0)
+            pieces.append(y[:, lo:(offs[i] + slab_h) * r])
+        return jnp.concatenate(pieces, axis=1)
+
     def one_slab(args):
         start, off = args
         slab = lax.dynamic_slice_in_dim(x, start, h_s, axis=1)
@@ -124,6 +142,5 @@ def packed_slab_forward(spec: SESRSpec, qp: QuantParams, x, s=(2, 4),
     # predecessor (g_{S-1} = H - slab_h), by identical values — drop the
     # overlapping rows when concatenating
     pieces = [ys[i] for i in range(n_slabs - 1)]
-    overlap = (gs[-2] + slab_h - gs[-1]) if n_slabs > 1 else 0
     pieces.append(ys[n_slabs - 1][:, overlap * r:])
     return jnp.concatenate(pieces, axis=1)

@@ -283,6 +283,32 @@ def test_multihost_stream_tail_uses_tail_shape():
     np.testing.assert_array_equal(y_all, np.asarray(y_mono))
 
 
+def test_multihost_tail_forward_deployment():
+    """The tail forward's DEPLOYMENT lowering (packed, W over the combined
+    (dp, sp) axes) == the monolithic packed forward."""
+    import os
+    from sesr_tpu.ops.packed import packed_fast_forward
+    from sesr_tpu.parallel.multihost import (make_mesh_multihost,
+                                             multihost_tail_forward)
+    from sesr_tpu.quant.params import QuantParams
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "artifacts",
+                        "qparams_sr_x2.npz")
+    if not os.path.exists(path):
+        pytest.skip("qparams_sr_x2.npz missing")
+    spec = spec_for_task("sr_x2")
+    qp = QuantParams.load(path)
+    mesh = make_mesh_multihost(n_hosts=2, dp=2, sp=2)
+
+    rng = np.random.default_rng(61)
+    # W = 64 -> 16 per (dp, sp) shard, multiple of s_w=4
+    x = rng.random((2, 24, 64, 3), dtype=np.float32)
+    y_mono = packed_fast_forward(spec, qp, jnp.asarray(x))
+    y_tail = multihost_tail_forward(spec, qp, mesh,
+                                    lowering="deployment")(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(y_tail), np.asarray(y_mono))
+
+
 def test_multihost_rejects_cross_host_halo():
     """dp*sp larger than one host's devices would put halos on DCN — the
     mesh builder must refuse."""
