@@ -275,6 +275,59 @@ def cmd_hist(args):
     print(f"wrote {len(files)} histogram PNGs under {args.out}")
 
 
+def cmd_profile(args):
+    """Compile a deployment/interpreter path and print XLA's cost analysis
+    (FLOPs, bytes accessed, peak memory) — the compiler-native replacement
+    for the reference's nonexistent profiling (SURVEY §5: torch.fx was its
+    only 'tracing'; jaxpr/XLA is ours, and the numbers here are what the
+    roofline analyses in BASELINE.md are built from)."""
+    import jax
+    import jax.numpy as jnp
+    from sesr_tpu.config import spec_for_task
+    from sesr_tpu.models.sesr import forward_float
+    from sesr_tpu.ops.packed import select_packed_forward
+    from sesr_tpu.quant.integer import integer_forward
+    from sesr_tpu.quant.params import QuantParams
+
+    spec = spec_for_task(args.task)
+    s = tuple(int(v) for v in args.cells.split("x"))
+    shape = jax.ShapeDtypeStruct((1, args.height, args.width,
+                                  spec.in_channels), jnp.float32)
+    if args.path == "deployment":
+        qp = QuantParams.load(args.qparams)
+        mode, fwd = select_packed_forward(qp)
+        fn = lambda x: fwd(spec, qp, x, s=s)                # noqa: E731
+        label = f"deployment ({mode}, cells {args.cells})"
+    elif args.path == "interpreter":
+        qp = QuantParams.load(args.qparams)
+        fn = lambda x: integer_forward(spec, qp, x,          # noqa: E731
+                                       corrected=True)[0]
+        label = "integer interpreter (corrected)"
+    else:
+        params = _load_params(args.task, args)
+        fn = lambda x: forward_float(spec, params, x)       # noqa: E731
+        label = "float"
+    compiled = jax.jit(fn).lower(shape).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0))
+    bytes_acc = float(ca.get("bytes accessed", 0.0))
+    px = args.height * args.width
+    print(f"{args.task} {label} @ {args.height}x{args.width}:")
+    print(f"  flops/frame:          {flops:.3e}  ({flops / px:.0f}/px)")
+    print(f"  bytes accessed/frame: {bytes_acc:.3e}  "
+          f"(arithmetic intensity {flops / max(bytes_acc, 1):.1f})")
+    try:
+        mem = compiled.memory_analysis()
+        print(f"  peak temp allocation: "
+              f"{mem.temp_size_in_bytes / 1e6:.1f} MB; "
+              f"argument {mem.argument_size_in_bytes / 1e6:.1f} MB; "
+              f"output {mem.output_size_in_bytes / 1e6:.1f} MB")
+    except Exception:
+        pass
+
+
 def cmd_bench(args):
     import subprocess
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -361,6 +414,17 @@ def main(argv=None):
     common(p)
     p.add_argument("--out", default="output_png")
     p.set_defaults(fn=cmd_hist)
+
+    p = sub.add_parser("profile", help="XLA cost analysis of a compiled "
+                                       "path (FLOPs, bytes, peak memory)")
+    common(p)
+    p.add_argument("--qparams", default=None)
+    p.add_argument("--path", default="deployment",
+                   choices=["deployment", "interpreter", "float"])
+    p.add_argument("--cells", default="2x4")
+    p.add_argument("--height", type=int, default=540)
+    p.add_argument("--width", type=int, default=960)
+    p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser("bench", help="single-chip throughput benchmark")
     p.set_defaults(fn=cmd_bench)

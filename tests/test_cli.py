@@ -105,3 +105,11 @@ def test_cli_train_preview(tmp_path, capsys):
           "--preview-dir", str(tmp_path / "pv"), "--preview-every", "1"])
     files = sorted(os.listdir(tmp_path / "pv"))
     assert files == ["preview_000001.png", "preview_000002.png"], files
+
+
+@needs_artifact
+def test_cli_profile(capsys):
+    main(["profile", "--task", "sr_x2", "--qparams", QP_SR_X2,
+          "--height", "64", "--width", "96"])
+    out = capsys.readouterr().out
+    assert "flops/frame" in out and "bytes accessed" in out

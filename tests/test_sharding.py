@@ -309,6 +309,36 @@ def test_multihost_tail_forward_deployment():
     np.testing.assert_array_equal(np.asarray(y_tail), np.asarray(y_mono))
 
 
+def test_multihost_stream_frames_deployment():
+    """stream_frames in DEPLOYMENT lowering (packed, certificate-selected)
+    with a partial tail — bit-exact vs the monolithic packed forward."""
+    import os
+    from sesr_tpu.ops.packed import packed_fast_forward
+    from sesr_tpu.parallel import multihost as mh
+    from sesr_tpu.quant.params import QuantParams
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "artifacts",
+                        "qparams_sr_x2.npz")
+    if not os.path.exists(path):
+        pytest.skip("qparams_sr_x2.npz missing")
+    spec = spec_for_task("sr_x2")
+    qp = QuantParams.load(path)
+    mesh = mh.make_mesh_multihost(n_hosts=2, dp=2, sp=2)
+
+    rng = np.random.default_rng(67)
+    # W=64: 32/shard in the full batch (sp=2), 16/shard in the tail
+    # (dp*sp=4) — both cell-aligned at s_w=4
+    frames = [rng.random((1, 16, 64, 3), dtype=np.float32)
+              for _ in range(6)]                       # 4 + tail 2
+    outs = list(mh.stream_frames(spec, qp, mesh, frames,
+                                 lowering="deployment", s=(2, 4)))
+    assert [o.shape[0] for o in outs] == [4, 2]
+    y_all = np.concatenate([np.asarray(o) for o in outs], axis=0)
+    y_mono = packed_fast_forward(spec, qp,
+                                 jnp.asarray(np.concatenate(frames, axis=0)))
+    np.testing.assert_array_equal(y_all, np.asarray(y_mono))
+
+
 def test_multihost_rejects_cross_host_halo():
     """dp*sp larger than one host's devices would put halos on DCN — the
     mesh builder must refuse."""
