@@ -100,11 +100,17 @@ class RawBayerDataset:
         return len(self.raw_paths)
 
     def __getitem__(self, i) -> Tuple[np.ndarray, np.ndarray]:
+        from sesr_tpu.data import native as _native
+
         path = self.raw_paths[i]
         base = os.path.basename(path)
         ww, hh = int(base.split("_")[1]), int(base.split("_")[-1][:-4])
-        raw = np.fromfile(path, dtype=np.uint16).reshape(ww, hh)
-        inp = expand_bayer_plane(raw.astype(np.float32) / (2 ** 12 - 1))
+        raw = _native.read_raw(path, ww, hh)
+        if raw is None:
+            raw = np.fromfile(path, dtype=np.uint16).reshape(ww, hh)
+        inp = _native.expand(raw, dense=False)
+        if inp is None:
+            inp = expand_bayer_plane(raw.astype(np.float32) / (2 ** 12 - 1))
         if self.add_test_noise:
             shot, read = random_noise_levels(self.rng)
             inp, _ = add_noise(inp, shot, read, self.rng)
@@ -162,10 +168,14 @@ class TrainBayerDataset:
         # even-aligned crop keeps the RGGB phase (self_dataset.py:145-147)
         bii = int(self.rng.integers(0, max(ww - ps, 1))) // 2 * 2
         bjj = int(self.rng.integers(0, max(hh - ps, 1))) // 2 * 2
-        patch = raw[bii:bii + ps, bjj:bjj + ps].astype(np.float32)
+        patch = raw[bii:bii + ps, bjj:bjj + ps]
         gt = gt[bii:bii + ps, bjj:bjj + ps]
 
-        inp = expand_bayer_plane_dense(patch / (2 ** 12 - 1))
+        from sesr_tpu.data import native as _native
+        inp = _native.expand(patch, dense=True)
+        if inp is None:
+            inp = expand_bayer_plane_dense(
+                patch.astype(np.float32) / (2 ** 12 - 1))
         shot, read = random_noise_levels(self.rng)
         inp, _ = add_noise(inp, shot, read, self.rng)
         variance = shot * inp + read                    # noisy-inp quirk

@@ -71,3 +71,76 @@ def test_native_speedup(have_native, rng):
     _python_blocked(data, 18)
     t_python = time.perf_counter() - t0
     assert t_native < t_python / 3, (t_native, t_python)
+
+
+# ---- native raw-Bayer IO core (native/bayerio.cpp) -------------------------
+
+
+@pytest.fixture(scope="module")
+def have_bayerio():
+    from sesr_tpu.data import native as dnative
+    if not dnative.available():
+        pytest.skip("native bayerio lib not buildable (no g++?)")
+    return True
+
+
+@pytest.mark.parametrize("dense", [False, True])
+@pytest.mark.parametrize("hw", [(16, 24), (64, 64)])
+def test_bayerio_expand_bitexact(have_bayerio, dense, hw):
+    """Native expansion == the numpy executable spec, bit-for-bit f32."""
+    from sesr_tpu.data import native as dnative
+    from sesr_tpu.data.bayer import expand_bayer_plane, expand_bayer_plane_dense
+
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 4096, hw, dtype=np.uint16)
+    want_fn = expand_bayer_plane_dense if dense else expand_bayer_plane
+    want = want_fn(raw.astype(np.float32) / (2 ** 12 - 1))
+    got = dnative.expand(raw, dense=dense)
+    assert got is not None and got.dtype == np.float32
+    np.testing.assert_array_equal(got, want)
+
+
+def test_bayerio_sparse_odd_sizes(have_bayerio):
+    from sesr_tpu.data import native as dnative
+    from sesr_tpu.data.bayer import expand_bayer_plane
+
+    rng = np.random.default_rng(5)
+    raw = rng.integers(0, 4096, (15, 21), dtype=np.uint16)
+    want = expand_bayer_plane(raw.astype(np.float32) / (2 ** 12 - 1))
+    np.testing.assert_array_equal(dnative.expand(raw, dense=False), want)
+    # dense requires even sizes (the numpy spec errors on odd): native
+    # returns None so callers fall back
+    assert dnative.expand(raw, dense=True) is None
+
+
+def test_bayerio_read_raw(have_bayerio, tmp_path):
+    from sesr_tpu.data import native as dnative
+
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 4096, (32, 40), dtype=np.uint16)
+    p = str(tmp_path / "scene_32_40.raw")
+    raw.tofile(p)
+    got = dnative.read_raw(p, 32, 40)
+    np.testing.assert_array_equal(got, raw)
+    assert dnative.read_raw(str(tmp_path / "missing.raw"), 4, 4) is None
+
+
+def test_bayerio_faster_than_numpy(have_bayerio):
+    from sesr_tpu.data import native as dnative
+    from sesr_tpu.data.bayer import expand_bayer_plane
+
+    rng = np.random.default_rng(9)
+    raw = rng.integers(0, 4096, (1080, 1920), dtype=np.uint16)
+    for _ in range(2):  # warm
+        dnative.expand(raw, dense=False)
+        expand_bayer_plane(raw.astype(np.float32) / 4095.0)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        dnative.expand(raw, dense=False)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(5):
+        expand_bayer_plane(raw.astype(np.float32) / 4095.0)
+    t_numpy = time.perf_counter() - t0
+    # don't flake on machine noise; just require "not slower"
+    assert t_native < t_numpy * 1.2, (t_native, t_numpy)
