@@ -30,16 +30,17 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 # Every task with a reference-generated golden. nr/dm run the reference's
 # MFLAG 1/2 sim composition, where the model's AddOp stays in the integer
 # graph and the shortcut is double-counted (quant/integer.py
-# residual_mode="graph_add"). nr_qat is the qatf="qat_" composition on the
-# QAT-trained nr_qat_G.pth weights: prepare() before load, fake-quant
-# delta-response collapse, and the AddOp swapped for QuantAdd (which the
-# fx trace bakes into a stateless per-image dynamic union fake-quant —
-# quant/qat.py quant_add_dynamic).
-GOLDEN_TASKS = ["nrdm_3", "sr_x4", "sr_x2", "nr", "dm", "nr_qat"]
+# residual_mode="graph_add"). nr_qat/dm_qat are the qatf="qat_"
+# composition on the QAT-trained *_qat_G.pth weights: prepare() before
+# load, fake-quant delta-response collapse, and the AddOp swapped for
+# QuantAdd — whose scale the fx trace FREEZES from the checkpoint's
+# observer buffers (quant/qat.py quant_add_frozen).
+GOLDEN_TASKS = ["nrdm_3", "sr_x4", "sr_x2", "nr", "dm", "nr_qat",
+                "dm_qat"]
 RESIDUAL_MODE = {"nr": "graph_add", "dm": "graph_add",
-                 "nr_qat": "graph_add_qat"}
-SPEC_TASK = {"nr_qat": "nr"}          # golden task -> model spec
-QAT_ADD = {"nr_qat"}                  # tasks whose composition has QuantAdd
+                 "nr_qat": "graph_add_qat", "dm_qat": "graph_add_qat"}
+SPEC_TASK = {"nr_qat": "nr", "dm_qat": "dm"}   # golden task -> model spec
+QAT_ADD = {"nr_qat", "dm_qat"}        # tasks whose composition has QuantAdd
 
 
 def _qat_bounds(task, g):

@@ -27,7 +27,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = "/root/reference"
 
 TASK_MFLAG = {"nrdm_3": 3, "sr_x4": 5, "sr_x2": 6, "nr": 1, "dm": 2,
-              "nr_qat": 1}
+              "nr_qat": 1, "dm_qat": 2}
 
 # MFLAG value installed in the define stub. For nr/dm (MFLAG 1/2) the
 # reference's own calibration cannot complete: the output domain (id=5) is
@@ -40,7 +40,7 @@ TASK_MFLAG = {"nrdm_3": 3, "sr_x4": 5, "sr_x2": 6, "nr": 1, "dm": 2,
 # directly runs 100% reference numerics with its own domain-5 observer
 # enabled — the minimal completion of the flow its author left broken.
 TASK_STUB_MFLAG = {"nrdm_3": 3, "sr_x4": 5, "sr_x2": 6, "nr": 3, "dm": 3,
-                   "nr_qat": 3}
+                   "nr_qat": 3, "dm_qat": 3}
 
 
 def _install_define_stub(mflag: int):
@@ -94,22 +94,27 @@ def _build_models(task: str):
             calib_model, sim_model = mod.dm(), mod.dm()
         ckpt = torch.load(f"{REFERENCE}/model_params/{task}_G.pth",
                           map_location="cpu")
-    elif task == "nr_qat":
+    elif task in ("nr_qat", "dm_qat"):
         # the qatf="qat_" composition (test.py:27-28,61-75 / sim.py): the
         # model is prepare()'d BEFORE the checkpoint load, so collapse()
         # evaluates the fake-quant delta response and the in-graph AddOp
-        # becomes QuantAdd; the checkpoint is the QAT-trained nr_qat_G.pth.
+        # becomes QuantAdd; the checkpoint is the QAT-trained *_qat_G.pth.
         # quantize_utils_pt is the reference's CPU twin of
         # quantize_utils_cuda (diff: .cuda() placement only, SURVEY §2 C7).
-        from models import nr as mod
         from models import quantize_utils_pt as quantize
-        calib_model, sim_model = mod.nr(), mod.nr()
+        if task == "nr_qat":
+            from models import nr as mod
+            calib_model, sim_model = mod.nr(), mod.nr()
+        else:
+            from models import dm as mod
+            calib_model, sim_model = mod.dm(), mod.dm()
         for m in (calib_model, sim_model):
             m.train()
             quantize.prepare(m, inplace=True, a_bits=8, w_bits=8,
                              q_type=0, q_level="C")
-        ckpt = torch.load(f"{REFERENCE}/model_params/nr_qat_G.pth",
-                          map_location="cpu")
+        ckpt = torch.load(
+            f"{REFERENCE}/model_params/{task.split('_')[0]}_qat_G.pth",
+            map_location="cpu")
     else:
         raise ValueError(task)
     for m in (calib_model, sim_model):
@@ -307,11 +312,12 @@ def generate(task: str, out_path: str, fixture_hw=(32, 48), n_calib=3,
         out["res_requant_n"] = np.int64(torch.load("output_pt/requan_factor/n_res.pt"))
         out["num_convs"] = np.int64(L)
         out["task"] = np.bytes_(task.encode())
-        if task == "nr_qat":
+        if task in ("nr_qat", "dm_qat"):
             # the union observer bounds the fx trace froze into the
             # QuantAdd scale (quant/qat.py quant_add_frozen)
-            ck = torch.load(f"{REFERENCE}/model_params/nr_qat_G.pth",
-                            map_location="cpu")
+            ck = torch.load(
+                f"{REFERENCE}/model_params/{task.split('_')[0]}_qat_G.pth",
+                map_location="cpu")
             out["qat_add_lo"] = np.float64(min(
                 float(ck["add_residual.observer_res.min_val"]),
                 float(ck["add_residual.observer_shortcut.min_val"])))
