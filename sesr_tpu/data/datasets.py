@@ -353,10 +353,12 @@ def task_pair_from_image(task: str, img_hwc: np.ndarray,
 def builtin_real_images() -> List[np.ndarray]:
     """Real photographic images available offline in this environment, HWC
     RGB float in [0, 1]: matplotlib's bundled public-domain sample
-    photograph (grace_hopper.jpg, 600x512), plus — when a reference
-    checkout is mounted — its committed training-preview PNGs
-    (train.py:80-86 dumps, real DIV2K-RAW-derived content, 64x192).
-    Returns [] when none are available (no network access is attempted)."""
+    photograph (grace_hopper.jpg, 600x512), scikit-learn's two bundled
+    sample photographs (china.jpg / flower.jpg, 427x640 outdoor scenes),
+    plus — when a reference checkout is mounted — its committed
+    training-preview PNGs (train.py:80-86 dumps, real DIV2K-RAW-derived
+    content, 64x192). Returns [] when none are available (no network
+    access is attempted)."""
     imgs: List[np.ndarray] = []
     try:
         import matplotlib
@@ -364,6 +366,15 @@ def builtin_real_images() -> List[np.ndarray]:
                          "mpl-data", "sample_data", "grace_hopper.jpg")
         if os.path.exists(p):
             imgs.append(_imread_rgb(p))
+    except ImportError:
+        pass
+    try:
+        import sklearn.datasets as skd
+        root = os.path.join(os.path.dirname(skd.__file__), "images")
+        for name in ("china.jpg", "flower.jpg"):
+            p = os.path.join(root, name)
+            if os.path.exists(p):
+                imgs.append(_imread_rgb(p))
     except ImportError:
         pass
     for p in sorted(glob.glob("/root/reference/[0-9]temp.png")):

