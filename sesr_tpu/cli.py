@@ -231,9 +231,19 @@ def cmd_infer(args):
     for inp, gt in data:
         y = np.asarray(fwd(spec, qp, jnp.asarray(inp), s=s))
         p, ss = evaluate_pair(args.task, y[0], gt[0], inp[0])
+        if args.save_dir:
+            from PIL import Image
+            os.makedirs(args.save_dir, exist_ok=True)
+            img = np.clip(y[0], 0.0, 1.0)
+            if img.shape[-1] == 1:
+                img = img[:, :, 0]
+            Image.fromarray((img * 255.0 + 0.5).astype(np.uint8)).save(
+                os.path.join(args.save_dir, f"out_{n:04d}.png"))
         tot_p, tot_s, n = tot_p + p, tot_s + ss, n + 1
     print(f"{args.task} packed({args.cells}, {mode}) mean psnr: {tot_p/n:.4f}  "
           f"ssim: {tot_s/n:.4f}  ({n} images)")
+    if args.save_dir:
+        print(f"outputs -> {args.save_dir}/")
 
 
 def cmd_certify(args):
@@ -399,6 +409,8 @@ def main(argv=None):
     p.add_argument("--qparams", required=True)
     p.add_argument("--cells", default="2x4",
                    help="packing cell size s_h x s_w (default 2x4)")
+    p.add_argument("--save-dir", default=None,
+                   help="write the model outputs as PNGs here")
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("certify", help="fast-mode certification stamps "
