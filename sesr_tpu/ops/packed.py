@@ -212,9 +212,10 @@ def packed_layer_taps(spec: SESRSpec, i: int, s: SLike):
     return packed_tap_range(k, sh), packed_tap_range(k, sw)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6))
 def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: SLike,
-                      narrow_store: bool = True, halo_axis=None):
+                      narrow_store: bool = True, halo_axis=None,
+                      out_dtype: str = "f32"):
     """narrow_store: materialize the inter-layer boundary as the EXACT
     integer-valued tensors (int8 conv inputs, int16 rounded shortcut)
     instead of the f32 requant outputs — 4x less HBM traffic per layer.
@@ -322,13 +323,24 @@ def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: SLike,
     r = spec.scaling_factor if spec.has_pixel_shuffle else 1
     img = packed_to_image_nhwc(out_q.astype(jnp.int8), (sh, sw), r)
     img = img[:, :H * r, :W * r, :]
+    if out_dtype == "int8":
+        # deployment output contract: the quantized image itself (the
+        # caller dequantizes with (qp.a_zero[L], qp.a_scale[L]) — or feeds
+        # a display/encoder path directly); skips the 4x-wider f32
+        # full-resolution HBM write of the default contract
+        return img
     return (img.astype(jnp.float32) - jnp.float32(zero_L)) \
         * jnp.float32(scale_L)
 
 
 def packed_fast_forward(spec: SESRSpec, qp: QuantParams, x, s: SLike = (2, 4),
-                        halo_axis=None):
+                        halo_axis=None, out_dtype: str = "f32"):
     """Channel-packed deployment forward (XLA). x: NHWC float in [0, 1].
+
+    ``out_dtype``: "f32" (default — dequantized image, the scoring
+    contract) or "int8" (the raw quantized image; dequantize with
+    (qp.a_zero[L], qp.a_scale[L]) — skips the full-resolution f32 HBM
+    write for consumers that want bytes anyway).
 
     Bit-identical to integer_forward(..., corrected=True, compute="fast")
     — the certified saturation-free deployment datapath — with every conv
@@ -350,7 +362,8 @@ def packed_fast_forward(spec: SESRSpec, qp: QuantParams, x, s: SLike = (2, 4),
             "packed_fast_forward requires a certified QuantParams "
             "(quant/certify.py): it lowers the certified fast datapath.")
     x = jnp.asarray(x, jnp.float32)
-    return _packed_fast_impl(spec, x, _hashable(qp), _s2(s), True, halo_axis)
+    return _packed_fast_impl(spec, x, _hashable(qp), _s2(s), True, halo_axis,
+                             out_dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6))

@@ -258,3 +258,23 @@ def test_select_packed_forward_modes():
                               corrected=True)
     got = fwd(spec_for_task("nr"), qp_none, x, (2, 4))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_packed_fast_int8_output_contract():
+    """out_dtype='int8' returns the raw quantized image; dequantizing with
+    (a_zero[L], a_scale[L]) reproduces the f32 contract exactly."""
+    task = "sr_x2"
+    path = os.path.join(ARTIFACTS, f"qparams_{task}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"{path} missing")
+    spec = spec_for_task(task)
+    qp = QuantParams.load(path)
+    rng = np.random.default_rng(71)
+    x = jnp.asarray(rng.random((1, 24, 48, 3), dtype=np.float32))
+    y_f32 = np.asarray(packed_fast_forward(spec, qp, x))
+    y_i8 = np.asarray(packed_fast_forward(spec, qp, x, out_dtype="int8"))
+    assert y_i8.dtype == np.int8
+    L = qp.num_convs
+    deq = (y_i8.astype(np.float32) - np.float32(qp.a_zero[L])) \
+        * np.float32(qp.a_scale[L])
+    np.testing.assert_array_equal(deq, y_f32)
