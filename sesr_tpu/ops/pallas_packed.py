@@ -48,6 +48,18 @@ beyond ~80-96 fail; live VMEM beyond ~16MB fails (s=4's C=256 buffers cap
 it to smaller tiles than s=(2,4), costing it 2.3-2.8x); a flattened
 single-roll-per-tap variant (sublane roll of the (M, C) view by
 qy*E_w+qx) fails everywhere the 2D roll form compiles.
+
+Round-3 closure of the int8-dot door (tools/bench_probe_r3b.py): packing
+four int8 channels per int32 lane would keep the im2col rolls 32-bit
+(legal) while the dots ran the measured-269-TFLOP/s int8 MXU path.
+pltpu.bitcast(int32 -> int8) compiles and expands the SUBLANE dim 4x
+with row layout 4m+b (byte b of word-row m, learned empirically) — but
+separating the byte planes for per-plane int8 dots requires stride-4
+sublane access or a sublane-merging reshape, both of which fail the
+remote Mosaic compile (HTTP 500), and a single fused dot cannot apply
+per-byte weight matrices. The int8 rate advantage is therefore
+unreachable from packed words on this toolchain; the kernel remains the
+bf16-dot form.
 """
 
 from __future__ import annotations

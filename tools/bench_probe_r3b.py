@@ -186,7 +186,7 @@ def probe_byteplane_dot(layout):
         flops = 2 * M * K * N
         med = statistics.median(vals)
         print(f"  {name}: median {med * 1e3:.3f} ms -> "
-              f"{flops / (med / 1e3) / 1e12:.1f} TFLOP/s... (per-call s: "
+              f"{flops / med / 1e12:.1f} TFLOP/s (per-call s: "
               f"{[round(v, 5) for v in vals]})", flush=True)
 
 
@@ -240,12 +240,6 @@ def main():
     _ = float(jnp.sum(y))
     print(f"done in {time.time() - t0:.0f}s", flush=True)
 
-    print("bitcast layout discovery:", flush=True)
-    layout = probe_bitcast_layout()
-    if layout in ("m*4+b", "b*M+m"):
-        print("byte-plane dot probe:", flush=True)
-        probe_byteplane_dot(layout)
-
     rng = np.random.default_rng(0)
     x_hd = jax.device_put(jnp.asarray(
         rng.random((1, 1080, 1920, 3), dtype=np.float32)))
@@ -264,6 +258,8 @@ def main():
                                                          (2, 4))),
         "b8_serial_unroll": (x_b8, lambda c: packed_slab_forward(
             spec, qp, c, s=(2, 4), batch_serial=True, unroll=True)),
+        "b1_int8out": (x_1, lambda c: _packed_fast_impl(
+            spec, c, qph, (2, 4), True, None, "int8").astype(jnp.float32)),
     }
     state = {}
     print("interleaved slab/batch probes, 5 reps:", flush=True)
@@ -279,6 +275,14 @@ def main():
     for name, vals in state.items():
         print(f"  {name}: {np.median(vals):.1f} Mpx/s "
               f"({[round(v, 1) for v in vals]})")
+
+    # Mosaic probes LAST: a wedged remote Mosaic compile must not starve
+    # the XLA measurements (it did in the first r3b attempt)
+    print("bitcast layout discovery:", flush=True)
+    layout = probe_bitcast_layout()
+    if layout in ("m*4+b", "b*M+m"):
+        print("byte-plane dot probe:", flush=True)
+        probe_byteplane_dot(layout)
 
 
 if __name__ == "__main__":
