@@ -181,22 +181,31 @@ def main():
                 spec, c, qp, (2, 4), False)),
             "packed_2x4_f32stores_b1": (1, lambda c: _packed_fast_impl(
                 spec, c, qp, (2, 4), False)),
+            # int8 OUTPUT contract (the caller dequantizes / consumes
+            # bytes): skips the full-res f32 HBM write — measured +12% at
+            # 1080p (tools/bench_probe_r3e.py)
+            "packed_2x4_int8out_b1": (1, lambda c: _packed_fast_impl(
+                spec, c, qp, (2, 4), True, None, "int8")
+                .astype(jnp.float32)),
             "packed_2x4_b4": (4, lambda c: _packed_fast_impl(spec, c, qp,
                                                              (2, 4))),
             "packed_2x4_b8": (8, lambda c: _packed_fast_impl(spec, c, qp,
                                                              (2, 4))),
         }
-        # resolution scaling: full-HD input -> 4K output — monolithic vs
-        # the in-chip slab tiling (ops/slab.py keeps the packed working
-        # set resident), interleaved in this same process
-        from sesr_tpu.ops.slab import packed_slab_forward
+        # resolution scaling: full-HD input -> 4K output, f32 vs int8
+        # output contracts, interleaved in this same process. (In-chip
+        # slab tiling was probed and CLOSED round 3: every multi-piece
+        # composition — lax.map, unrolled concat, pad+add, DUS, host
+        # dispatches — hits a ~7.6 ms-per-piece backend pathology;
+        # tools/bench_probe_r3{a,c,d,e}.py and CLAUDE.md.)
         x_hd = jax.device_put(jnp.asarray(
             rng.random((1, 1080, 1920, spec.in_channels), dtype=np.float32)))
         hd_cands = {
             "packed_2x4_1080p_in": lambda c: _packed_fast_impl(
                 spec, c, qp, (2, 4)),
-            "packed_2x4_1080p_slab": lambda c: packed_slab_forward(
-                spec, qp.qp, c, s=(2, 4)),
+            "packed_2x4_1080p_int8out": lambda c: _packed_fast_impl(
+                spec, c, qp, (2, 4), True, None, "int8")
+                .astype(jnp.float32),
         }
         hd_vals = {k: [] for k in hd_cands}
         try:
@@ -208,8 +217,6 @@ def main():
                     f"({[round(v, 1) for v in vals]})")
         except Exception as e:
             log(f"bench: 1080p probes: FAILED {str(e)[:120]}")
-        extra["packed_2x4_b8_serial"] = (8, lambda c: packed_slab_forward(
-            spec, qp.qp, c, s=(2, 4), batch_serial=True))
         # the saturating task's layer-hybrid path (PE-exact on its one
         # saturating layer, fast on the rest) vs all-PE-exact
         nr_path = os.path.join(REPO, "artifacts", "qparams_nr.npz")

@@ -30,6 +30,20 @@ R).
 
 Recompute overhead: 2R extra rows per slab (R = 7 for the 5-conv k=[5,3,3,
 3,5] nets), ~5% at slab_h = 270.
+
+STATUS (round 3, TPU v5e via the tunneled backend): the machinery is
+bit-exact (tests/test_slab.py, both loop forms) but NOT a throughput win
+on THIS backend — every multi-piece composition measured a ~7.6 ms-per-
+piece pathology regardless of form: lax.map 86, unrolled+concat 85,
+zero-pad+ADD 85 (f32) / 118 (int8), dynamic_update_slice 85 Mpx/s at
+1080p vs 390-450 monolithic, while a single slab-shaped program runs 514
+and two net outputs combined by plain ADD scale perfectly (r3d). The
+cost attaches to each conv-net subgraph over a distinct input slice, not
+to the assembly op, and host-level dispatches cost the same ~8 ms in
+post-readback sync mode — so 1080p+ frames stay MONOLITHIC here (the
+int8 output contract buys +12% instead), and this module remains for
+backends without the dispatch pathology. Probes:
+tools/bench_probe_r3{a,c,d,e}.py; protocol note in CLAUDE.md.
 """
 
 from __future__ import annotations
@@ -74,11 +88,11 @@ def packed_slab_forward(spec: SESRSpec, qp: QuantParams, x, s=(2, 4),
     disable slabbing). fwd: packed lowering fn(spec, qp, x, s) — defaults
     to the certificate-selected one (ops/packed.py select_packed_forward).
     batch_serial: run frames of a batch one at a time.
-    unroll: emit slabs as independent unrolled subgraphs (XLA schedules
-    them; default) instead of a lax.map while-loop — measured on the
-    tunneled v5e, the while-loop form collapses to ~86 Mpx/s at 1080p
-    (per-iteration overhead dominates; tools/bench_probe_r3a/b.py) while
-    the unrolled form is the faster-or-equal variant.
+    unroll: emit slabs as independent unrolled subgraphs (default)
+    instead of a lax.map while-loop. NOTE: on the tunneled v5e
+    BOTH forms hit the per-subgraph dispatch pathology (~85 Mpx/s at
+    1080p vs 390+ monolithic — see the module STATUS); use the
+    monolithic path there and keep this for backends without it.
     """
     if fwd is None:
         _mode, fwd = select_packed_forward(qp)
