@@ -303,6 +303,9 @@ def cmd_profile(args):
     s = tuple(int(v) for v in args.cells.split("x"))
     shape = jax.ShapeDtypeStruct((1, args.height, args.width,
                                   spec.in_channels), jnp.float32)
+    if args.path in ("deployment", "interpreter") and not args.qparams:
+        raise SystemExit(f"--path {args.path} requires --qparams "
+                         "(e.g. artifacts/qparams_<task>.npz)")
     if args.path == "deployment":
         qp = QuantParams.load(args.qparams)
         mode, fwd = select_packed_forward(qp)
