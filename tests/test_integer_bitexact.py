@@ -36,11 +36,17 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 # QuantAdd — whose scale the fx trace FREEZES from the checkpoint's
 # observer buffers (quant/qat.py quant_add_frozen).
 GOLDEN_TASKS = ["nrdm_3", "sr_x4", "sr_x2", "nr", "dm", "nr_qat",
-                "dm_qat"]
+                "dm_qat", "nrdm_3_qat"]
+# nrdm_3_qat is the qatf composition on the MFLAG 3 (sim-wiring) path: the
+# integer graph is the _sim model (no AddOp -> default in-chain residual +
+# requan_res), while the CALIBRATION graph keeps the prepared model's
+# frozen QuantAdd — the composition nr_qat/dm_qat cannot exercise.
 RESIDUAL_MODE = {"nr": "graph_add", "dm": "graph_add",
                  "nr_qat": "graph_add_qat", "dm_qat": "graph_add_qat"}
-SPEC_TASK = {"nr_qat": "nr", "dm_qat": "dm"}   # golden task -> model spec
-QAT_ADD = {"nr_qat", "dm_qat"}        # tasks whose composition has QuantAdd
+SPEC_TASK = {"nr_qat": "nr", "dm_qat": "dm",
+             "nrdm_3_qat": "nrdm_3"}          # golden task -> model spec
+# tasks whose CALIBRATION composition has a frozen QuantAdd
+QAT_ADD = {"nr_qat", "dm_qat", "nrdm_3_qat"}
 
 
 def _qat_bounds(task, g):

@@ -27,7 +27,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = "/root/reference"
 
 TASK_MFLAG = {"nrdm_3": 3, "sr_x4": 5, "sr_x2": 6, "nr": 1, "dm": 2,
-              "nr_qat": 1, "dm_qat": 2}
+              "nr_qat": 1, "dm_qat": 2, "nrdm_3_qat": 3}
 
 # MFLAG value installed in the define stub. For nr/dm (MFLAG 1/2) the
 # reference's own calibration cannot complete: the output domain (id=5) is
@@ -40,7 +40,7 @@ TASK_MFLAG = {"nrdm_3": 3, "sr_x4": 5, "sr_x2": 6, "nr": 1, "dm": 2,
 # directly runs 100% reference numerics with its own domain-5 observer
 # enabled — the minimal completion of the flow its author left broken.
 TASK_STUB_MFLAG = {"nrdm_3": 3, "sr_x4": 5, "sr_x2": 6, "nr": 3, "dm": 3,
-                   "nr_qat": 3, "dm_qat": 3}
+                   "nr_qat": 3, "dm_qat": 3, "nrdm_3_qat": 3}
 
 
 def _install_define_stub(mflag: int):
@@ -115,6 +115,25 @@ def _build_models(task: str):
         ckpt = torch.load(
             f"{REFERENCE}/model_params/{task.split('_')[0]}_qat_G.pth",
             map_location="cpu")
+    elif task == "nrdm_3_qat":
+        # the qatf="qat_" composition on the MFLAG 3 (sim-wiring) path:
+        # calibration runs the prepared nrdm_3 model (its AddOp becomes
+        # QuantAdd), the integer sim runs the prepared nrdm_3_sim model
+        # (no AddOp — the in-chain residual wiring of quan_func.py:244-270
+        # plus requan_res, unlike nr/dm's graph_add quirk). Upstream
+        # composes the checkpoint name "nrdm_3_raw_qat_G.pth"
+        # (test.py:38-40), which is absent from the shipped model_params;
+        # the shipped QAT weights for this model are nrdm_3_qat_G.pth —
+        # the minimal completion of the flow, as with the nr/dm MFLAG stub.
+        from models import quantize_utils_pt as quantize
+        from models import nrdm_3, nrdm_3_sim
+        calib_model, sim_model = nrdm_3.nr(), nrdm_3_sim.nr()
+        for m in (calib_model, sim_model):
+            m.train()
+            quantize.prepare(m, inplace=True, a_bits=8, w_bits=8,
+                             q_type=0, q_level="C")
+        ckpt = torch.load(f"{REFERENCE}/model_params/nrdm_3_qat_G.pth",
+                          map_location="cpu")
     else:
         raise ValueError(task)
     for m in (calib_model, sim_model):
@@ -312,11 +331,11 @@ def generate(task: str, out_path: str, fixture_hw=(32, 48), n_calib=3,
         out["res_requant_n"] = np.int64(torch.load("output_pt/requan_factor/n_res.pt"))
         out["num_convs"] = np.int64(L)
         out["task"] = np.bytes_(task.encode())
-        if task in ("nr_qat", "dm_qat"):
+        if task in ("nr_qat", "dm_qat", "nrdm_3_qat"):
             # the union observer bounds the fx trace froze into the
             # QuantAdd scale (quant/qat.py quant_add_frozen)
             ck = torch.load(
-                f"{REFERENCE}/model_params/{task.split('_')[0]}_qat_G.pth",
+                f"{REFERENCE}/model_params/{task[:-4]}_qat_G.pth",
                 map_location="cpu")
             out["qat_add_lo"] = np.float64(min(
                 float(ck["add_residual.observer_res.min_val"]),
