@@ -36,17 +36,23 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 # QuantAdd — whose scale the fx trace FREEZES from the checkpoint's
 # observer buffers (quant/qat.py quant_add_frozen).
 GOLDEN_TASKS = ["nrdm_3", "sr_x4", "sr_x2", "nr", "dm", "nr_qat",
-                "dm_qat", "nrdm_3_qat"]
+                "dm_qat", "nrdm_3_qat", "sr_x4_qat"]
 # nrdm_3_qat is the qatf composition on the MFLAG 3 (sim-wiring) path: the
 # integer graph is the _sim model (no AddOp -> default in-chain residual +
 # requan_res), while the CALIBRATION graph keeps the prepared model's
 # frozen QuantAdd — the composition nr_qat/dm_qat cannot exercise.
+# sr_x4_qat is the same composition on MFLAG 5, where upstream loads the
+# FLOAT x4sesr.pth (test.py:64-69) into the prepared model: the QuantAdd
+# observers stay at INIT state (zeros), the frozen scale degenerates to f32
+# eps, and domains 4/5 collapse to ~255*eps — degenerate but fully
+# deterministic; the golden pins that quirk end to end.
 RESIDUAL_MODE = {"nr": "graph_add", "dm": "graph_add",
                  "nr_qat": "graph_add_qat", "dm_qat": "graph_add_qat"}
 SPEC_TASK = {"nr_qat": "nr", "dm_qat": "dm",
-             "nrdm_3_qat": "nrdm_3"}          # golden task -> model spec
+             "nrdm_3_qat": "nrdm_3",
+             "sr_x4_qat": "sr_x4"}            # golden task -> model spec
 # tasks whose CALIBRATION composition has a frozen QuantAdd
-QAT_ADD = {"nr_qat", "dm_qat", "nrdm_3_qat"}
+QAT_ADD = {"nr_qat", "dm_qat", "nrdm_3_qat", "sr_x4_qat"}
 
 
 def _qat_bounds(task, g):

@@ -27,7 +27,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = "/root/reference"
 
 TASK_MFLAG = {"nrdm_3": 3, "sr_x4": 5, "sr_x2": 6, "nr": 1, "dm": 2,
-              "nr_qat": 1, "dm_qat": 2, "nrdm_3_qat": 3}
+              "nr_qat": 1, "dm_qat": 2, "nrdm_3_qat": 3, "sr_x4_qat": 5}
 
 # MFLAG value installed in the define stub. For nr/dm (MFLAG 1/2) the
 # reference's own calibration cannot complete: the output domain (id=5) is
@@ -40,7 +40,7 @@ TASK_MFLAG = {"nrdm_3": 3, "sr_x4": 5, "sr_x2": 6, "nr": 1, "dm": 2,
 # directly runs 100% reference numerics with its own domain-5 observer
 # enabled — the minimal completion of the flow its author left broken.
 TASK_STUB_MFLAG = {"nrdm_3": 3, "sr_x4": 5, "sr_x2": 6, "nr": 3, "dm": 3,
-                   "nr_qat": 3, "dm_qat": 3, "nrdm_3_qat": 3}
+                   "nr_qat": 3, "dm_qat": 3, "nrdm_3_qat": 3, "sr_x4_qat": 5}
 
 
 def _install_define_stub(mflag: int):
@@ -115,6 +115,21 @@ def _build_models(task: str):
         ckpt = torch.load(
             f"{REFERENCE}/model_params/{task.split('_')[0]}_qat_G.pth",
             map_location="cpu")
+    elif task == "sr_x4_qat":
+        # the qatf="qat_" composition on MFLAG 5 — an upstream QUIRK path:
+        # test.py:64-69 loads the FLOAT x4sesr.pth regardless of qatf, so
+        # the prepared model's quantizer/observer buffers keep their INIT
+        # state (zeros) and the fx trace freezes whatever scale that
+        # yields into the QuantAdd. Generated to learn/pin that behavior.
+        from models import quantize_utils_pt as quantize
+        from models import sesr, sesr_sim
+        calib_model, sim_model = sesr.sesr(), sesr_sim.sesr()
+        for m in (calib_model, sim_model):
+            m.train()
+            quantize.prepare(m, inplace=True, a_bits=8, w_bits=8,
+                             q_type=0, q_level="C")
+        ckpt = torch.load(f"{REFERENCE}/model_params/x4sesr.pth",
+                          map_location="cpu")
     elif task == "nrdm_3_qat":
         # the qatf="qat_" composition on the MFLAG 3 (sim-wiring) path:
         # calibration runs the prepared nrdm_3 model (its AddOp becomes
@@ -343,6 +358,16 @@ def generate(task: str, out_path: str, fixture_hw=(32, 48), n_calib=3,
             out["qat_add_hi"] = np.float64(max(
                 float(ck["add_residual.observer_res.max_val"]),
                 float(ck["add_residual.observer_shortcut.max_val"])))
+        elif task == "sr_x4_qat":
+            # qatf="qat_" on MFLAG 5 loads the FLOAT x4sesr.pth (test.py:
+            # 64-69 ignores qatf when picking the checkpoint), which has no
+            # quantizer buffers — load_state_dict(strict=False) leaves the
+            # QuantAdd union observers at INIT state (zeros,
+            # quantize_utils_pt.py:90-92), so the trace freezes
+            # scale = max(eps, 0/127.5) = f32 eps. Record the init bounds
+            # the trace actually read.
+            out["qat_add_lo"] = np.float64(0.0)
+            out["qat_add_hi"] = np.float64(0.0)
         out["fixture"] = fixture
         out["gfake"] = gfake
         for j, img in enumerate(calib_images):
