@@ -36,23 +36,28 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 # QuantAdd — whose scale the fx trace FREEZES from the checkpoint's
 # observer buffers (quant/qat.py quant_add_frozen).
 GOLDEN_TASKS = ["nrdm_3", "sr_x4", "sr_x2", "nr", "dm", "nr_qat",
-                "dm_qat", "nrdm_3_qat", "sr_x4_qat"]
+                "dm_qat", "nrdm_3_qat", "sr_x4_qat", "sr_x2_qat"]
 # nrdm_3_qat is the qatf composition on the MFLAG 3 (sim-wiring) path: the
 # integer graph is the _sim model (no AddOp -> default in-chain residual +
 # requan_res), while the CALIBRATION graph keeps the prepared model's
 # frozen QuantAdd — the composition nr_qat/dm_qat cannot exercise.
-# sr_x4_qat is the same composition on MFLAG 5, where upstream loads the
-# FLOAT x4sesr.pth (test.py:64-69) into the prepared model: the QuantAdd
-# observers stay at INIT state (zeros), the frozen scale degenerates to f32
-# eps, and domains 4/5 collapse to ~255*eps — degenerate but fully
-# deterministic; the golden pins that quirk end to end.
+# sr_x4_qat / sr_x2_qat are the same composition on MFLAG 5/6, where
+# upstream loads the FLOAT checkpoint (test.py:64-69) into the prepared
+# model: the QuantAdd observers stay at INIT state (zeros), the frozen
+# scale degenerates to f32 eps, and the deep domains collapse to ~255*eps —
+# degenerate but fully deterministic; the goldens pin that quirk end to
+# end. On sr_x2_qat the degenerate s_1/s_4 ratio exceeds 2^16, driving
+# res_requant_n NEGATIVE (-1) — a value upstream's own output.py crashes
+# on (see gen_golden.py _run_exporter) but its sim applies fine (float
+# multiply by 2^-n), and so does ours.
 RESIDUAL_MODE = {"nr": "graph_add", "dm": "graph_add",
                  "nr_qat": "graph_add_qat", "dm_qat": "graph_add_qat"}
 SPEC_TASK = {"nr_qat": "nr", "dm_qat": "dm",
              "nrdm_3_qat": "nrdm_3",
-             "sr_x4_qat": "sr_x4"}            # golden task -> model spec
+             "sr_x4_qat": "sr_x4",
+             "sr_x2_qat": "sr_x2"}            # golden task -> model spec
 # tasks whose CALIBRATION composition has a frozen QuantAdd
-QAT_ADD = {"nr_qat", "dm_qat", "nrdm_3_qat", "sr_x4_qat"}
+QAT_ADD = {"nr_qat", "dm_qat", "nrdm_3_qat", "sr_x4_qat", "sr_x2_qat"}
 
 
 def _qat_bounds(task, g):

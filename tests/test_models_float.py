@@ -68,6 +68,47 @@ def test_forward_matches_reference_checkpoint(task, rng):
     np.testing.assert_allclose(y, y_ref, rtol=1e-3, atol=2e-4)
 
 
+@requires_reference
+def test_qat_collapse_parity_nrdm_6():
+    """nrdm_6_qat_G.pth is the one shipped QAT checkpoint no golden can
+    exercise (the reference's integer wiring is hard-coded to 5 convs —
+    quan_func.py branches on func_id 0/3/4 — so MFLAG 4 cannot run its
+    sim). The collapse is still runnable upstream: pin our fake-quant
+    delta-response collapse (io/torch_import.py collapse_state_dict_qat)
+    against the reference's prepare->load->collapse on the 6-block model,
+    within f32 contraction reassociation (same bound as
+    test_qat_collapse_parity on nr_qat)."""
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        from models import nrdm_6 as mod
+        from models import quantize_utils_pt as quantize
+        model = mod.nr()
+        model.train()
+        quantize.prepare(model, inplace=True, a_bits=8, w_bits=8,
+                         q_type=0, q_level="C")
+        state = torch.load(f"{REFERENCE_ROOT}/model_params/nrdm_6_qat_G.pth",
+                           map_location="cpu")
+        model = model.float()
+        model.load_state_dict(state, strict=False)
+        model.collapse()
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+
+    params = load_reference_checkpoint("nrdm_6", qat=True)
+    convs = ([model.conv_first.conv_expand]
+             + [b.conv_expand for b in model.residual_block]
+             + [model.conv_last.conv_expand])
+    assert len(convs) == len(params.weights) == 8
+    for i, conv in enumerate(convs):
+        ref_w = conv.weight.detach().numpy()
+        ref_b = conv.bias.detach().numpy()
+        got_w = np.asarray(params.weights[i]).transpose(3, 2, 0, 1)
+        np.testing.assert_allclose(got_w, ref_w, atol=4e-7, rtol=0,
+                                   err_msg=f"conv {i}")
+        np.testing.assert_array_equal(np.asarray(params.biases[i]), ref_b,
+                                      err_msg=f"conv {i}")
+
+
 def test_pixel_shuffle_matches_torch(rng):
     x = rng.standard_normal((2, 5, 7, 16)).astype(np.float32)
     y = np.asarray(pixel_shuffle_nhwc(jnp.asarray(x), 4))

@@ -27,7 +27,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = "/root/reference"
 
 TASK_MFLAG = {"nrdm_3": 3, "sr_x4": 5, "sr_x2": 6, "nr": 1, "dm": 2,
-              "nr_qat": 1, "dm_qat": 2, "nrdm_3_qat": 3, "sr_x4_qat": 5}
+              "nr_qat": 1, "dm_qat": 2, "nrdm_3_qat": 3, "sr_x4_qat": 5,
+              "sr_x2_qat": 6}
 
 # MFLAG value installed in the define stub. For nr/dm (MFLAG 1/2) the
 # reference's own calibration cannot complete: the output domain (id=5) is
@@ -40,7 +41,8 @@ TASK_MFLAG = {"nrdm_3": 3, "sr_x4": 5, "sr_x2": 6, "nr": 1, "dm": 2,
 # directly runs 100% reference numerics with its own domain-5 observer
 # enabled — the minimal completion of the flow its author left broken.
 TASK_STUB_MFLAG = {"nrdm_3": 3, "sr_x4": 5, "sr_x2": 6, "nr": 3, "dm": 3,
-                   "nr_qat": 3, "dm_qat": 3, "nrdm_3_qat": 3, "sr_x4_qat": 5}
+                   "nr_qat": 3, "dm_qat": 3, "nrdm_3_qat": 3, "sr_x4_qat": 5,
+                   "sr_x2_qat": 6}
 
 
 def _install_define_stub(mflag: int):
@@ -115,21 +117,29 @@ def _build_models(task: str):
         ckpt = torch.load(
             f"{REFERENCE}/model_params/{task.split('_')[0]}_qat_G.pth",
             map_location="cpu")
-    elif task == "sr_x4_qat":
-        # the qatf="qat_" composition on MFLAG 5 — an upstream QUIRK path:
-        # test.py:64-69 loads the FLOAT x4sesr.pth regardless of qatf, so
-        # the prepared model's quantizer/observer buffers keep their INIT
-        # state (zeros) and the fx trace freezes whatever scale that
-        # yields into the QuantAdd. Generated to learn/pin that behavior.
+    elif task in ("sr_x4_qat", "sr_x2_qat"):
+        # the qatf="qat_" composition on MFLAG 5/6 — an upstream QUIRK
+        # path: test.py:64-69 loads the FLOAT x4sesr.pth / x2sesr.pth.tar
+        # regardless of qatf, so the prepared model's quantizer/observer
+        # buffers keep their INIT state (zeros) and the fx trace freezes
+        # whatever scale that yields into the QuantAdd (= the f32 eps
+        # floor). Generated to learn/pin that behavior.
         from models import quantize_utils_pt as quantize
-        from models import sesr, sesr_sim
-        calib_model, sim_model = sesr.sesr(), sesr_sim.sesr()
+        if task == "sr_x4_qat":
+            from models import sesr, sesr_sim
+            calib_model, sim_model = sesr.sesr(), sesr_sim.sesr()
+            ckpt = torch.load(f"{REFERENCE}/model_params/x4sesr.pth",
+                              map_location="cpu")
+        else:
+            from models import sesr_arch, sesr_arch_sim
+            calib_model, sim_model = sesr_arch.sesr(), sesr_arch_sim.sesr()
+            ckpt = torch.load(f"{REFERENCE}/model_params/x2sesr.pth.tar",
+                              map_location="cpu",
+                              weights_only=False)["state_dict"]
         for m in (calib_model, sim_model):
             m.train()
             quantize.prepare(m, inplace=True, a_bits=8, w_bits=8,
                              q_type=0, q_level="C")
-        ckpt = torch.load(f"{REFERENCE}/model_params/x4sesr.pth",
-                          map_location="cpu")
     elif task == "nrdm_3_qat":
         # the qatf="qat_" composition on the MFLAG 3 (sim-wiring) path:
         # calibration runs the prepared nrdm_3 model (its AddOp becomes
@@ -358,8 +368,8 @@ def generate(task: str, out_path: str, fixture_hw=(32, 48), n_calib=3,
             out["qat_add_hi"] = np.float64(max(
                 float(ck["add_residual.observer_res.max_val"]),
                 float(ck["add_residual.observer_shortcut.max_val"])))
-        elif task == "sr_x4_qat":
-            # qatf="qat_" on MFLAG 5 loads the FLOAT x4sesr.pth (test.py:
+        elif task in ("sr_x4_qat", "sr_x2_qat"):
+            # qatf="qat_" on MFLAG 5/6 loads the FLOAT checkpoint (test.py:
             # 64-69 ignores qatf when picking the checkpoint), which has no
             # quantizer buffers — load_state_dict(strict=False) leaves the
             # QuantAdd union observers at INIT state (zeros,
@@ -378,11 +388,33 @@ def generate(task: str, out_path: str, fixture_hw=(32, 48), n_calib=3,
         # ---- run the reference hex exporters in the same workdir ---------
         import subprocess
         env = dict(os.environ, PYTHONPATH=REFERENCE)
-        for script in ("output.py", "output_end2end.py"):
+
+        def _run_exporter(script):
             r = subprocess.run([sys.executable, os.path.join(REFERENCE, script)],
-                               cwd=workdir, env=env, capture_output=True, text=True)
-            if r.returncode != 0:
-                raise RuntimeError(f"{script} failed: {r.stderr[-2000:]}")
+                               cwd=workdir, env=env, capture_output=True,
+                               text=True)
+            if r.returncode == 0:
+                return
+            if (task == "sr_x2_qat" and script == "output.py"
+                    and "Unknown format code 'x'" in r.stderr):
+                # UPSTREAM BUG exposed only by this composition: the
+                # degenerate eps scales make s_1/s_4 > 2^16, so n_res is
+                # NEGATIVE (-1 here). output.py:245 passes the float
+                # bit_width math.log2(REQUAN_N_MAX)=5.0 to float_to_hex, so
+                # the negative branch computes int_res = 32.0 + (-1) = 31.0
+                # (a float) and '{:02x}'.format crashes. The write is the
+                # LAST statement of the script, so every other stream (and
+                # the 5 shift entries of requan_shift_n.txt) is complete on
+                # disk; record the crash and keep the partial tree. Our
+                # exporter writes the value the upstream arithmetic
+                # intended: two's complement 31 -> "1f".
+                out["upstream_output_crash"] = np.bytes_(
+                    r.stderr[-500:].encode())
+                return
+            raise RuntimeError(f"{script} failed: {r.stderr[-2000:]}")
+
+        for script in ("output.py", "output_end2end.py"):
+            _run_exporter(script)
         # output_end2end.py overwrites output_txt/input/input.{0,5}.txt, so
         # snapshot its two files under a separate key prefix ("e2e").
         # Run order above matches the fact that output.py's input-tile files
@@ -393,10 +425,7 @@ def generate(task: str, out_path: str, fixture_hw=(32, 48), n_calib=3,
                 rel = os.path.relpath(os.path.join(root, f), workdir)
                 with open(os.path.join(root, f)) as fh:
                     out["e2e_txt:" + rel] = np.bytes_(fh.read().encode())
-        r = subprocess.run([sys.executable, os.path.join(REFERENCE, "output.py")],
-                           cwd=workdir, env=env, capture_output=True, text=True)
-        if r.returncode != 0:
-            raise RuntimeError(f"output.py rerun failed: {r.stderr[-2000:]}")
+        _run_exporter("output.py")
         for root, _, files in os.walk(os.path.join(workdir, "output_txt")):
             for f in files:
                 rel = os.path.relpath(os.path.join(root, f), workdir)
