@@ -21,10 +21,17 @@
 extern "C" {
 
 // Read a uint16 .raw plane of W*H entries from `path` into `raw` (caller
-// allocates). Returns the number of entries read (W*H on success).
+// allocates). Returns the number of entries read (W*H on success), or -2
+// when the file size is not exactly n entries — the numpy executable spec
+// (np.fromfile().reshape(w, h)) rejects over- and under-sized files alike,
+// so a trailing-garbage file must not be silently truncated here.
 long read_raw_u16(const char* path, long n, uint16_t* raw) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
+    if (std::fseek(f, 0, SEEK_END) != 0) { std::fclose(f); return -1; }
+    long bytes = std::ftell(f);
+    if (bytes != n * (long)sizeof(uint16_t)) { std::fclose(f); return -2; }
+    std::rewind(f);
     long got = (long)std::fread(raw, sizeof(uint16_t), (size_t)n, f);
     std::fclose(f);
     return got;

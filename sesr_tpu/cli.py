@@ -29,6 +29,17 @@ import time
 import numpy as np
 
 
+def _save_png(y_hwc: np.ndarray, path: str) -> None:
+    """Write an HWC (or HW1) float [0,1] output as an 8-bit PNG — the
+    clip/round convention shared by training previews and infer --save-dir
+    (reference train.py:80-86 uses the same 255-scale rounding)."""
+    from PIL import Image
+    img = np.clip(y_hwc, 0.0, 1.0)
+    if img.shape[-1] == 1:
+        img = img[:, :, 0]
+    Image.fromarray((img * 255.0 + 0.5).astype(np.uint8)).save(path)
+
+
 def _dataset(task, args):
     from sesr_tpu.data.datasets import (SRFolderDataset, RawBayerDataset,
                                         SyntheticDataset, RealImageDataset)
@@ -167,16 +178,11 @@ def cmd_train(args):
         # only training-time observability — every 10 epochs there)
         if not args.preview_dir or args.preview_every <= 0:
             return
-        from PIL import Image
         from sesr_tpu.models.expanded import forward_expanded
         os.makedirs(args.preview_dir, exist_ok=True)
         y = np.asarray(forward_expanded(spec, params,
                                         jnp.asarray(data[0][0])))[0]
-        img = np.clip(y, 0.0, 1.0)
-        if img.shape[-1] == 1:
-            img = img[:, :, 0]
-        Image.fromarray((img * 255.0 + 0.5).astype(np.uint8)).save(
-            os.path.join(args.preview_dir, f"preview_{it:06d}.png"))
+        _save_png(y, os.path.join(args.preview_dir, f"preview_{it:06d}.png"))
 
     t0 = time.time()
     for it in range(start, start + args.steps):
@@ -232,13 +238,8 @@ def cmd_infer(args):
         y = np.asarray(fwd(spec, qp, jnp.asarray(inp), s=s))
         p, ss = evaluate_pair(args.task, y[0], gt[0], inp[0])
         if args.save_dir:
-            from PIL import Image
             os.makedirs(args.save_dir, exist_ok=True)
-            img = np.clip(y[0], 0.0, 1.0)
-            if img.shape[-1] == 1:
-                img = img[:, :, 0]
-            Image.fromarray((img * 255.0 + 0.5).astype(np.uint8)).save(
-                os.path.join(args.save_dir, f"out_{n:04d}.png"))
+            _save_png(y[0], os.path.join(args.save_dir, f"out_{n:04d}.png"))
         tot_p, tot_s, n = tot_p + p, tot_s + ss, n + 1
     print(f"{args.task} packed({args.cells}, {mode}) mean psnr: {tot_p/n:.4f}  "
           f"ssim: {tot_s/n:.4f}  ({n} images)")
@@ -258,15 +259,14 @@ def cmd_certify(args):
     qp = QuantParams.load(args.qparams)
     images = [inp for inp, *_ in _dataset(args.task, args)]
     qp2 = certify_fast(spec, qp, images)
-    stamps = "".join(
-        "S" if s else ("F" if f else "x")
-        for f, s in zip(qp2.fast_cert_layers, qp2.fast_cert_static))
-    print(f"{args.task}: grade={qp2.cert_grade} layers={stamps} "
+    print(f"{args.task}: grade={qp2.cert_grade} layers={qp2.cert_stamps} "
           f"over {qp2.fast_cert_images} images")
     static_n = sum(qp2.fast_cert_static)
+    emp_n = sum(f and not s
+                for f, s in zip(qp2.fast_cert_layers, qp2.fast_cert_static))
     print(f"  {static_n}/{qp2.num_convs} layers statically proven "
           f"(input-independent interval bound); "
-          f"{sum(qp2.fast_cert_layers) - static_n} empirically safe; "
+          f"{emp_n} empirically safe; "
           f"{qp2.num_convs - sum(qp2.fast_cert_layers)} saturate "
           f"(PE-exact lowering only)")
     if args.out:

@@ -40,6 +40,12 @@ def _imread_rgb(path: str, bit_depth: Optional[int] = None) -> np.ndarray:
     except ImportError:
         from PIL import Image
         img = np.asarray(Image.open(path).convert("RGB"))
+        if img.dtype == np.uint8 and bit_depth is not None and bit_depth > 8:
+            # PIL's RGB conversion returns 8-bit data even for deeper PNGs;
+            # rescale to the declared container so the unconditional
+            # normalization below keeps the reference's [0,1] contract
+            # (dividing 8-bit values by 2^12-1 would be ~16x too dark).
+            img = img.astype(np.float32) * ((2 ** bit_depth - 1) / 255.0)
     img = img.astype(np.float32)
     if bit_depth is not None:
         return img / float(2 ** bit_depth - 1)

@@ -171,11 +171,17 @@ def load_qat_add_bounds(task: str,
                         reference_root: str = "/root/reference"):
     """(union_lo, union_hi) of the QAT checkpoint's add_residual observers —
     the values the fx trace freezes into the QuantAdd scale (see
-    quant/qat.py quant_add_frozen)."""
+    quant/qat.py quant_add_frozen).
+
+    For sr_x4/sr_x2 the composition loads the FLOAT checkpoint (upstream
+    quirk, test.py:64-69), which carries no observer buffers, so the
+    QuantAdd observers keep their INIT state — zeros. Returning (0.0, 0.0)
+    reproduces exactly what the fx trace freezes there (the scale then
+    degenerates to the f32 eps floor; pinned end to end by the
+    sr_x4_qat/sr_x2_qat goldens)."""
     name = QAT_CHECKPOINTS.get(task)
     if name is None:
-        raise ValueError(f"task {task} has no QAT checkpoint in the "
-                         "reference composition")
+        return 0.0, 0.0
     import torch
     ck = torch.load(f"{reference_root}/model_params/{name}",
                     map_location="cpu")

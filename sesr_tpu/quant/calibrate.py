@@ -223,12 +223,20 @@ def calibrate(spec: SESRSpec, params: CollapsedParams,
     """
     fq_weights, w_int, w_scale = _prep_fq_weights(params, hw)
     L = spec.num_convs
+
+    def fwd(img, hist_bounds=None, collect_hist=False):
+        # single call site for BOTH passes so the min/max pass and the
+        # histogram pass always run the identical composition (a histogram
+        # taken over a different forward than the one that produced its
+        # bounds would silently skew KL/percentile scales for the qatf
+        # composition)
+        return _calibration_forward_impl(
+            spec, fq_weights, jnp.asarray(img, jnp.float32), hw, exact_pe,
+            hist_bounds, collect_hist, None, qat_add_bounds)
+
     calib = CalibState.fresh(L + 1)
     for img in images:
-        x = jnp.asarray(img, jnp.float32)
-        _, minmax = _calibration_forward_impl(spec, fq_weights, x, hw,
-                                              exact_pe, None, False, None,
-                                              qat_add_bounds)
+        _, minmax = fwd(img)
         mm = np.asarray(minmax, np.float64)
         for d in range(L + 1):
             calib.update(d, mm[0, d], mm[1, d])
@@ -240,9 +248,7 @@ def calibrate(spec: SESRSpec, params: CollapsedParams,
             np.stack([calib.min_vals, calib.max_vals], axis=1), jnp.float32)
         total = np.zeros((L + 1, BINS_NUM), np.int64)
         for img in images:
-            x = jnp.asarray(img, jnp.float32)
-            _, _, hists = _calibration_forward_impl(
-                spec, fq_weights, x, hw, exact_pe, bounds, True)
+            _, _, hists = fwd(img, bounds, True)
             total += np.asarray(hists, np.int64)
         for d in range(L + 1):
             lo, hi = calib.min_vals[d], calib.max_vals[d]

@@ -121,14 +121,33 @@ class QuantParams:
     def cert_grade(self) -> str:
         """"static" (every layer proven for all inputs), "empirical"
         (fully certified on the calibration set), "partial" (layer-hybrid
-        eligible), or "none"."""
-        if self.fast_cert_static is not None and all(self.fast_cert_static):
+        eligible), or "none".
+
+        "static" additionally requires fast_cert_ok: certify_fast demotes
+        the whole artifact (fast_cert_ok=False, layers all-False) when a
+        WHOLE-ARTIFACT obligation fails (int16 shortcut bound, fast/packed
+        equality) — the per-layer interval proofs still hold then, but the
+        artifact must not be reported at the strongest grade while its fast
+        lowering is refused service."""
+        if (self.fast_cert_ok and self.fast_cert_static is not None
+                and all(self.fast_cert_static)):
             return "static"
         if self.fast_cert_ok:
             return "empirical"
         if self.fast_cert_layers is not None and any(self.fast_cert_layers):
             return "partial"
         return "none"
+
+    @property
+    def cert_stamps(self) -> str:
+        """Per-layer stamp string: S = statically proven for ALL inputs,
+        F = empirically fast-safe over the calibration set, x = saturates
+        (PE-exact lowering only). Shared by every reporting surface."""
+        if self.fast_cert_layers is None or self.fast_cert_static is None:
+            return "?" * self.num_convs
+        return "".join("S" if s else ("F" if f else "x")
+                       for f, s in zip(self.fast_cert_layers,
+                                       self.fast_cert_static))
 
     @property
     def num_convs(self) -> int:

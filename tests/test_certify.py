@@ -149,6 +149,27 @@ def test_cert_grade_property():
     assert qp_n.cert_grade == "partial"
 
 
+def test_cert_grade_demoted_artifact_is_not_static():
+    """certify_fast demotes the WHOLE artifact (fast_cert_ok=False, layers
+    all-False) when a whole-artifact obligation fails even though the
+    per-layer static interval proofs still hold; the grade must then not
+    report the strongest tier, and the stamp string stays per-layer."""
+    import dataclasses
+
+    spec, images, qp = _fresh_qparams("sr_x2")
+    qp_c = certify_fast(spec, qp, images)
+    L = qp.num_convs
+    demoted = dataclasses.replace(
+        qp_c, fast_cert_ok=False, fast_cert_layers=tuple([False] * L))
+    assert demoted.cert_grade != "static"
+    assert demoted.cert_grade != "empirical"
+    # stamps stay consistent with the per-layer fields (S for static
+    # layers, x for the demoted rest) and every surface shares them
+    assert len(demoted.cert_stamps) == L
+    assert set(demoted.cert_stamps) <= {"S", "x"}
+    assert qp.cert_stamps == "?" * L                  # uncertified artifact
+
+
 def test_static_stamp_survives_serialization(tmp_path):
     spec, images, qp = _fresh_qparams("sr_x2")
     qp = certify_fast(spec, qp, images)

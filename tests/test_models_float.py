@@ -109,6 +109,32 @@ def test_qat_collapse_parity_nrdm_6():
                                       err_msg=f"conv {i}")
 
 
+@requires_reference
+def test_load_qat_add_bounds_matches_goldens():
+    """The documented API for the qatf composition's frozen QuantAdd bounds
+    must return exactly what the golden generator recorded from the
+    checkpoints — including (0.0, 0.0) for sr_x4/sr_x2, whose composition
+    loads the FLOAT checkpoint (upstream quirk) and keeps the observers at
+    INIT state."""
+    import glob
+    import os
+    from sesr_tpu.io.torch_import import load_qat_add_bounds
+
+    goldens = os.path.join(os.path.dirname(__file__), "goldens")
+    checked = 0
+    for path in sorted(glob.glob(os.path.join(goldens, "*_qat.npz"))):
+        task = os.path.basename(path)[:-len("_qat.npz")]
+        g = np.load(path)
+        if "qat_add_lo" not in g:
+            continue
+        lo, hi = load_qat_add_bounds(task)
+        assert (lo, hi) == (float(g["qat_add_lo"]), float(g["qat_add_hi"])), task
+        checked += 1
+    assert checked >= 4      # nr, dm, nrdm_3 + the float-checkpoint quirks
+    assert load_qat_add_bounds("sr_x4") == (0.0, 0.0)
+    assert load_qat_add_bounds("sr_x2") == (0.0, 0.0)
+
+
 def test_pixel_shuffle_matches_torch(rng):
     x = rng.standard_normal((2, 5, 7, 16)).astype(np.float32)
     y = np.asarray(pixel_shuffle_nhwc(jnp.asarray(x), 4))

@@ -125,6 +125,25 @@ def test_bayerio_read_raw(have_bayerio, tmp_path):
     assert dnative.read_raw(str(tmp_path / "missing.raw"), 4, 4) is None
 
 
+def test_bayerio_read_raw_rejects_size_mismatch(have_bayerio, tmp_path):
+    """The numpy executable spec (np.fromfile().reshape(w, h)) errors on
+    files whose size is not exactly w*h entries; the native reader must not
+    silently truncate an oversized (trailing-garbage) file either."""
+    from sesr_tpu.data import native as dnative
+
+    rng = np.random.default_rng(11)
+    raw = rng.integers(0, 4096, (8, 10), dtype=np.uint16)
+    p = str(tmp_path / "trailing_8_10.raw")
+    with open(p, "wb") as f:
+        f.write(raw.tobytes())
+        f.write(b"\x00\x01\x02")                    # trailing garbage
+    assert dnative.read_raw(p, 8, 10) is None       # falls back to the spec
+    short = str(tmp_path / "short_8_10.raw")
+    with open(short, "wb") as f:
+        f.write(raw.tobytes()[:-4])
+    assert dnative.read_raw(short, 8, 10) is None
+
+
 def test_bayerio_faster_than_numpy(have_bayerio):
     from sesr_tpu.data import native as dnative
     from sesr_tpu.data.bayer import expand_bayer_plane

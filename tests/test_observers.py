@@ -40,6 +40,58 @@ def test_kl_threshold_keeps_bulk(rng):
     assert hi < 50.0  # outlier clipped
 
 
+def test_calibrate_histogram_pass_keeps_qat_composition(rng):
+    """The histogram (second) calibration pass must run the SAME forward as
+    the min/max pass — including the qatf composition's frozen QuantAdd.
+    Regression: the hist pass once dropped qat_add_bounds, histogramming a
+    plain h + c0 residual against bounds observed through the frozen add,
+    silently skewing the KL/percentile scales of the deep domains."""
+    from sesr_tpu.config import DEFAULT_HW
+    from sesr_tpu.quant.calibrate import (
+        _calibration_forward_impl, _prep_fq_weights)
+
+    spec = spec_for_task("nrdm_3")
+    params = init_params(spec, jax.random.PRNGKey(0))
+    imgs = [rng.random((1, 16, 24, 3), dtype=np.float32) for _ in range(2)]
+    bounds = (0.0, 0.25)           # a frozen scale that clips the residual
+    L = spec.num_convs
+    fq_weights, _, _ = _prep_fq_weights(params, DEFAULT_HW)
+
+    def run(qab, hist_bounds=None, collect=False):
+        outs = [_calibration_forward_impl(
+            spec, fq_weights, jnp.asarray(im, jnp.float32), DEFAULT_HW,
+            True, hist_bounds, collect, None, qab) for im in imgs]
+        if collect:
+            return sum(np.asarray(o[2], np.int64) for o in outs)
+        mm = np.stack([np.asarray(o[1], np.float64) for o in outs])
+        return mm[:, 0].min(axis=0), mm[:, 1].max(axis=0)
+
+    lo, hi = run(bounds)                      # pass-1 bounds (frozen add)
+    hb = jnp.asarray(np.stack([lo, hi], axis=1), jnp.float32)
+    hist_good = run(bounds, hb, True)         # what calibrate must collect
+    hist_bad = run(None, hb, True)            # the regression's histogram
+    # precondition for test power: the two compositions really histogram
+    # differently in the residual-affected domains
+    assert any(not np.array_equal(hist_good[d], hist_bad[d])
+               for d in range(L + 1))
+    # percentile bound computed from the CORRECT histogram must be what
+    # calibrate ships (any domain whose good/bad percentile bounds differ)
+    p = 0.99
+    qp = calibrate(spec, params, imgs, observer="percentile", percentile=p,
+                   qat_add_bounds=bounds)
+    checked = 0
+    for d in range(L):                        # d == L may be min-zero-forced
+        glo, ghi = percentile_bounds(hist_good[d], lo[d], hi[d], p)
+        blo, bhi = percentile_bounds(hist_bad[d], lo[d], hi[d], p)
+        if (glo, ghi) == (blo, bhi):
+            continue
+        checked += 1
+        np.testing.assert_allclose(qp.a_scale[d], (ghi - glo) / 255.0,
+                                   rtol=1e-12, err_msg=f"domain {d}")
+        assert not np.isclose(qp.a_scale[d], (bhi - blo) / 255.0, rtol=1e-6)
+    assert checked > 0, "setup lost its discriminating domain"
+
+
 @pytest.mark.parametrize("observer", ["percentile", "kl"])
 def test_calibrate_with_histogram_observer(observer, rng):
     spec = spec_for_task("nrdm_3")

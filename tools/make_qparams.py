@@ -106,14 +106,9 @@ def main():
         qp = certify_fast(spec, qp, images)
         out = os.path.join(args.out_dir, f"qparams_{task}.npz")
         qp.save(out)
-        # S = statically proven for ALL inputs, F = empirically fast-safe
-        # over the calibration set, x = saturates (PE-exact only)
-        layers = "".join("S" if s else ("F" if b else "x")
-                         for b, s in zip(qp.fast_cert_layers,
-                                         qp.fast_cert_static))
         print(f"[make_qparams] {task}: {out} "
               f"({os.path.getsize(out)/1e3:.0f} kB, "
-              f"grade={qp.cert_grade} layers={layers} "
+              f"grade={qp.cert_grade} layers={qp.cert_stamps} "
               f"over {qp.fast_cert_images} images)")
 
 

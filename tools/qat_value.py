@@ -75,7 +75,7 @@ def finetune(task, expanded, steps, lr, qat: bool, train_data, seed=0):
     opt = optax.adam(lr)
     opt_state = opt.init(expanded)
     step = jax.jit(make_train_step(spec, cfg, opt))
-    params = expanded
+    params, loss = expanded, float("nan")
     for it in range(steps):
         inp, gt = train_data[it % len(train_data)]
         params, qstate, opt_state, loss = step(
