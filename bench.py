@@ -133,14 +133,24 @@ def main():
 
     # headline = median of 5 repeated K-difference measurements (single
     # measurements on this tunneled chip swing ~+-15%; compile and the
-    # warmup stall are paid once, so repeats are cheap)
+    # warmup stall are paid once, so repeats are cheap). The deployment
+    # default is (1, 8) cells — W-only packing, reshape-only entry/exit
+    # (ops/packed.py FAST_DEFAULT_CELLS; r3h: ties (2,4) at 540p, +59% at
+    # 1080p); (2,4) is measured interleaved for the drift-fair record.
     import statistics
     x1 = inp()
-    samples = [measure(lambda c: _packed_fast_impl(spec, c, qp, (2, 4)),
-                       x1, spec) for _ in range(5)]
+    samples, samples_24 = [], []
+    for _ in range(5):
+        samples.append(measure(
+            lambda c: _packed_fast_impl(spec, c, qp, (1, 8)), x1, spec))
+        samples_24.append(measure(
+            lambda c: _packed_fast_impl(spec, c, qp, (2, 4)), x1, spec))
     mpxs = statistics.median(samples)
-    log(f"bench: packed(2x4) deployment path: "
+    log(f"bench: packed(1x8) deployment path: "
         f"{[round(s, 1) for s in samples]} -> median {mpxs:.1f} Mpx/s")
+    log(f"bench: packed(2x4) (previous default, interleaved): "
+        f"{[round(s, 1) for s in samples_24]} -> median "
+        f"{statistics.median(samples_24):.1f} Mpx/s")
 
     if "--per-task" in sys.argv:
         # every task through its certificate-selected deployment lowering
@@ -160,10 +170,11 @@ def main():
             sp_t = spec_for_task(task)
             qp_t = QuantParams.load(path)
             mode, fwd = select_packed_forward(qp_t)
+            cells_t = (1, 8) if mode == "fast" else (2, 4)
             x_t = jax.device_put(jnp.asarray(rng.random(
                 (1, H, W, sp_t.in_channels), dtype=np.float32)))
             try:
-                vals = [measure(lambda c: fwd(sp_t, qp_t, c, (2, 4)),
+                vals = [measure(lambda c: fwd(sp_t, qp_t, c, cells_t),
                                 x_t, sp_t) for _ in range(3)]
                 log(f"bench: task {task} ({mode}): "
                     f"{statistics.median(vals):.1f} Mpx/s "
@@ -201,8 +212,13 @@ def main():
         x_hd = jax.device_put(jnp.asarray(
             rng.random((1, 1080, 1920, spec.in_channels), dtype=np.float32)))
         hd_cands = {
+            "packed_1x8_1080p_in": lambda c: _packed_fast_impl(
+                spec, c, qp, (1, 8)),
             "packed_2x4_1080p_in": lambda c: _packed_fast_impl(
                 spec, c, qp, (2, 4)),
+            "packed_1x8_1080p_int8out": lambda c: _packed_fast_impl(
+                spec, c, qp, (1, 8), True, None, "int8")
+                .astype(jnp.float32),
             "packed_2x4_1080p_int8out": lambda c: _packed_fast_impl(
                 spec, c, qp, (2, 4), True, None, "int8")
                 .astype(jnp.float32),
@@ -245,7 +261,7 @@ def main():
                 log(f"bench: {name}: FAILED {type(e).__name__}: {str(e)[:150]}")
 
     out = {
-        "metric": f"SESR-x2 INT8 inference (packed 2x4 deployment datapath), "
+        "metric": f"SESR-x2 INT8 inference (packed 1x8 deployment datapath), "
                   f"{H}x{W} input, 1 chip",
         "value": round(mpxs, 1),
         "unit": "Mpixel/s",

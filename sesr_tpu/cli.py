@@ -220,10 +220,17 @@ def cmd_infer(args):
     from sesr_tpu.ops.packed import select_packed_forward, CERTIFIED_CELLS
     from sesr_tpu.quant.params import QuantParams
 
+    from sesr_tpu.ops.packed import FAST_DEFAULT_CELLS
+
     spec = spec_for_task(args.task)
     qp = QuantParams.load(args.qparams)
-    s = tuple(int(v) for v in args.cells.split("x"))
     mode, fwd = select_packed_forward(qp)
+    if args.cells is None:
+        # measured per-mode winners (ops/packed.py FAST_DEFAULT_CELLS)
+        s = FAST_DEFAULT_CELLS if mode == "fast" else (2, 4)
+        args.cells = "x".join(map(str, s))
+    else:
+        s = tuple(int(v) for v in args.cells.split("x"))
     if mode != "pe-exact" and s not in CERTIFIED_CELLS:
         # the fast/hybrid lowerings are belt-and-braces verified on exactly
         # this geometry set at certification time (quant/certify.py); the
@@ -269,6 +276,8 @@ def cmd_certify(args):
           f"{emp_n} empirically safe; "
           f"{qp2.num_convs - sum(qp2.fast_cert_layers)} saturate "
           f"(PE-exact lowering only)")
+    print(f"  int16 shortcut store: "
+          f"{'statically proven wrap-free' if qp2.shortcut_static else 'empirical bound only'}")
     if args.out:
         qp2.save(args.out)
         print(f"stamped artifact -> {args.out}")
@@ -410,8 +419,10 @@ def main(argv=None):
                                      "channel-packed datapath")
     common(p)
     p.add_argument("--qparams", required=True)
-    p.add_argument("--cells", default="2x4",
-                   help="packing cell size s_h x s_w (default 2x4)")
+    p.add_argument("--cells", default=None,
+                   help="packing cell size s_h x s_w (default: 1x8 for the "
+                        "certified fast lowering, 2x4 for hybrid/pe-exact "
+                        "— the measured winners, ops/packed.py)")
     p.add_argument("--save-dir", default=None,
                    help="write the model outputs as PNGs here")
     p.set_defaults(fn=cmd_infer)

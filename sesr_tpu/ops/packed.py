@@ -60,7 +60,18 @@ SLike = Union[int, Tuple[int, int]]
 # belt-and-braces-checked for every geometry a user can select; cli.py
 # rejects other geometries for the certificate-dependent modes (the PE-exact
 # lowering needs no certificate and accepts any cell size).
-CERTIFIED_CELLS: Tuple[Tuple[int, int], ...] = ((2, 4), (4, 2), (2, 2), (4, 4))
+CERTIFIED_CELLS: Tuple[Tuple[int, int], ...] = ((1, 8), (2, 4), (4, 2),
+                                                (2, 2), (4, 4))
+
+# deployment default for the certified fast path: W-ONLY packing — its
+# space_to_depth is a pure reshape (W and C are memory-adjacent in NHWC,
+# no transpose at all), with the same 128-lane fill and the same 8x k=3
+# inflation as (2, 4). r3h interleaved medians: 540p 612 (1,8) vs 604
+# (2,4) — a tie — but 1080p 618 vs 389, +59%, erasing the resolution-
+# scaling regression (flat 540p -> 1080p). The hybrid/PE-exact lowerings
+# keep (2, 4): their lane-fill tuning (OC-concat decisions) was measured
+# there.
+FAST_DEFAULT_CELLS: Tuple[int, int] = (1, 8)
 
 
 def _s2(s: SLike) -> Tuple[int, int]:
@@ -146,6 +157,49 @@ def pack_weight_hwio(w: np.ndarray, s: SLike) -> np.ndarray:
     return wp
 
 
+def strided_entry_weight(w0: np.ndarray, s: SLike) -> np.ndarray:
+    """Fold quantize+pad+space_to_depth+conv0 into ONE strided conv: the
+    packed layer-0 output (Y, X, (ey, ex, oc)) equals the original conv0
+    output at pixel (s_h*Y + ey, s_w*X + ex), i.e. a stride-(s_h, s_w) conv
+    on the FULL-RESOLUTION shifted input with an expanded
+    (k+s_h-1, k+s_w-1) kernel — no explicit entry transpose at all.
+
+    Ws[ey+du, ex+dv, c, (ey*s_w+ex)*OC + o] = w0[du, dv, c, o]; apply with
+    padding ((r, Hp-H+r), (r, Wp-W+r)), stride (s_h, s_w) (r = k//2,
+    Hp/Wp = cell-rounded-up sizes). Exact: layer 0 has <= 3 input channels,
+    so every f32 partial sum is bounded by
+    (k+s_h-1)(k+s_w-1)*IC*127*255 < 2^24 and the accumulation is
+    order-independent (round-3 probe r3f measured the explicit entry
+    transform at ~0.20 ms/frame of the 0.85 ms total — the largest
+    non-conv block)."""
+    sh, sw = _s2(s)
+    k, k2, ic, oc = w0.shape
+    assert k == k2
+    ws = np.zeros((k + sh - 1, k + sw - 1, ic, sh * sw * oc), w0.dtype)
+    for ey in range(sh):
+        for ex in range(sw):
+            ws[ey:ey + k, ex:ex + k, :,
+               (ey * sw + ex) * oc:(ey * sw + ex + 1) * oc] += w0
+    return ws
+
+
+def strided_entry_conv(x_shift, ws, spec_k: int, s: SLike,
+                       preferred_element_type=jnp.float32):
+    """Apply the strided entry kernel (strided_entry_weight) to the
+    full-resolution shifted input. Output: the packed layer-0 conv result
+    (N, Hp/s_h, Wp/s_w, s_h*s_w*OC), pad cells included (their zero-padded
+    windows equal the masked packed path's values exactly)."""
+    sh, sw = _s2(s)
+    r = spec_k // 2
+    n, H, W, _ = x_shift.shape
+    hp, wp = -(-H // sh) * sh, -(-W // sw) * sw
+    return jax.lax.conv_general_dilated(
+        x_shift, ws, window_strides=(sh, sw),
+        padding=[(r, hp - H + r), (r, wp - W + r)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred_element_type)
+
+
 def packed_conv_same(x_p, wp, q_lo_hw, q_hi_hw,
                      preferred_element_type=jnp.float32,
                      w_valid: bool = False, h_valid: bool = False):
@@ -212,10 +266,18 @@ def packed_layer_taps(spec: SESRSpec, i: int, s: SLike):
     return packed_tap_range(k, sh), packed_tap_range(k, sw)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6))
+# input-pixel count above which the strided entry conv beats the explicit
+# entry transform (r3g interleaved medians: 540x960 packed 637 > strided
+# 490 Mpx/s, but 1080x1920 strided 439 > packed 396 — the transpose cost
+# grows super-linearly with the frame while the strided conv's overhead is
+# roughly proportional)
+STRIDED_ENTRY_MIN_PIXELS = 1_500_000
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7))
 def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: SLike,
                       narrow_store: bool = True, halo_axis=None,
-                      out_dtype: str = "f32"):
+                      out_dtype: str = "f32", entry: str = "auto"):
     """narrow_store: materialize the inter-layer boundary as the EXACT
     integer-valued tensors (int8 conv inputs, int16 rounded shortcut)
     instead of the f32 requant outputs — 4x less HBM traffic per layer.
@@ -230,7 +292,16 @@ def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: SLike,
     each layer's packed conv then exchanges its ONE-cell W halo
     (ops/halo.py; zeros delivered at image edges == the packed SAME
     padding) and convolves valid-W. Requires the local W to be a multiple
-    of s_w (cell-aligned shards)."""
+    of s_w (cell-aligned shards).
+
+    entry: "strided" folds quantize + pad + space_to_depth + conv0 into
+    one stride-(s_h, s_w) conv on the full-resolution input
+    (strided_entry_weight — bit-exact); "packed" is the explicit
+    transform (always used under halo_axis, where layer 0 must consume
+    the same sharded packed layout as the rest); "auto" (default) picks
+    strided for frames >= STRIDED_ENTRY_MIN_PIXELS — r3f/r3g measured the
+    explicit entry transform at ~0.20 ms of the 0.85 ms 540p frame yet
+    the strided conv only wins at 1080p+ (interleaved medians above)."""
     qp = qp_static
     hw = qp.hw
     L = spec.num_convs
@@ -240,23 +311,42 @@ def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: SLike,
     bias_hi = (1 << (hw.bias_bits - 1)) - 1
 
     n, H, W, c_in = x.shape
+    if entry == "auto":
+        # strided pays off only where the explicit entry transform is a
+        # real transpose (s_h > 1: H-interleave) AND the frame is large
+        # (r3g); W-only cells pack by pure reshape, nothing to save (r3h:
+        # (1,8)+strided measured 411 vs 612 Mpx/s at 540p)
+        entry = ("strided" if sh > 1 and H * W >= STRIDED_ENTRY_MIN_PIXELS
+                 else "packed")
     if halo_axis is not None:
         assert H % sh == 0 and W % sw == 0, (
             "sharded packed execution needs cell-aligned local shards")
+        entry = "packed"     # layer 0 must consume the sharded packed layout
     hp, wpad = -(-H // sh) * sh, -(-W // sw) * sw
     mask = _pad_mask(spec, H, W, (sh, sw))
 
-    # domain 0 quantization at original resolution, then pack once — in
-    # int8, so the entry transpose moves 4x fewer bytes (pad cells are int
-    # 0 exactly as before; the mask handles them either way)
+    # domain 0 quantization at original resolution
     x_q = jnp.clip(jnp.round(x / jnp.float32(qp.a_scale[0])
                              + jnp.float32(qp.a_zero[0])), qmin, qmax)
-    x_q = jnp.pad(x_q.astype(jnp.int8),
-                  ((0, 0), (0, hp - H), (0, wpad - W), (0, 0)))
-    h = space_to_depth_nhwc(x_q, (sh, sw))
+    if entry == "strided":
+        # no explicit transform: the strided entry conv consumes the
+        # full-resolution shifted input directly (layer 0 below)
+        h = x_q
+    else:
+        # pack once — in int8, so the entry transpose moves 4x fewer bytes
+        # (pad cells are int 0 exactly as before; the mask handles them
+        # either way)
+        x_q = jnp.pad(x_q.astype(jnp.int8),
+                      ((0, 0), (0, hp - H), (0, wpad - W), (0, 0)))
+        h = space_to_depth_nhwc(x_q, (sh, sw))
 
     packed_w = []
     for i in range(L):
+        if i == 0 and entry == "strided":
+            ws = strided_entry_weight(np.asarray(qp.w_int[0], np.float32),
+                                      (sh, sw))
+            packed_w.append((jnp.asarray(ws, jnp.bfloat16), None, None))
+            continue
         wp = pack_weight_hwio(np.asarray(qp.w_int[i], np.float32), (sh, sw))
         (qy_lo, qy_hi), (qx_lo, qx_hi) = packed_layer_taps(spec, i, (sh, sw))
         packed_w.append((jnp.asarray(wp, jnp.bfloat16),
@@ -283,15 +373,23 @@ def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: SLike,
             # in HBM between the conv fusions shrinks 4x
             x_qi = x_qi.astype(jnp.int8).astype(jnp.float32)
         x_shift = x_qi - jnp.float32(z_eff)
-        if mask is not None:
-            cpl = x_shift.shape[-1] // (sh * sw)
-            x_shift = x_shift * jnp.repeat(mask, cpl, axis=-1)[None]
+        if i == 0 and entry == "strided":
+            # full-resolution strided entry conv: its zero padding IS the
+            # masked packed path's pad-cell handling (both convolve the
+            # same zero-extended shifted field), so no mask here
+            y = strided_entry_conv(x_shift.astype(jnp.bfloat16),
+                                   packed_w[0][0], spec.kernel_sizes[0],
+                                   (sh, sw)).astype(jnp.int32)
+        else:
+            if mask is not None:
+                cpl = x_shift.shape[-1] // (sh * sw)
+                x_shift = x_shift * jnp.repeat(mask, cpl, axis=-1)[None]
 
-        wp, q_lo, q_hi = packed_w[i]
-        x_c, h_v, w_v = _halo_extend(x_shift.astype(jnp.bfloat16),
-                                     q_lo, q_hi, halo_axis)
-        y = packed_conv_same(x_c, wp, q_lo, q_hi,
-                             w_valid=w_v, h_valid=h_v).astype(jnp.int32)
+            wp, q_lo, q_hi = packed_w[i]
+            x_c, h_v, w_v = _halo_extend(x_shift.astype(jnp.bfloat16),
+                                         q_lo, q_hi, halo_axis)
+            y = packed_conv_same(x_c, wp, q_lo, q_hi,
+                                 w_valid=w_v, h_valid=h_v).astype(jnp.int32)
         y = saturate(y, hw.pe_add_bits)
         fused = np.clip(np.asarray(qp.bias_int[i]), -bias_hi - 1, bias_hi)
         fused_p = jnp.asarray(np.tile(fused, sh * sw), jnp.int32)
@@ -333,8 +431,10 @@ def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: SLike,
         * jnp.float32(scale_L)
 
 
-def packed_fast_forward(spec: SESRSpec, qp: QuantParams, x, s: SLike = (2, 4),
-                        halo_axis=None, out_dtype: str = "f32"):
+def packed_fast_forward(spec: SESRSpec, qp: QuantParams, x,
+                        s: SLike = FAST_DEFAULT_CELLS,
+                        halo_axis=None, out_dtype: str = "f32",
+                        entry: str = "auto"):
     """Channel-packed deployment forward (XLA). x: NHWC float in [0, 1].
 
     ``out_dtype``: "f32" (default — dequantized image, the scoring
@@ -363,7 +463,7 @@ def packed_fast_forward(spec: SESRSpec, qp: QuantParams, x, s: SLike = (2, 4),
             "(quant/certify.py): it lowers the certified fast datapath.")
     x = jnp.asarray(x, jnp.float32)
     return _packed_fast_impl(spec, x, _hashable(qp), _s2(s), True, halo_axis,
-                             out_dtype)
+                             out_dtype, entry)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6))

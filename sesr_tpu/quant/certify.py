@@ -36,7 +36,11 @@ fast interpreter AND the channel-packed fast lowering (ops/packed.py,
 narrow int8/int16 inter-layer stores) proven array-equal to the PE-exact
 interpreter on every image and every deployment cell geometry
 (ops/packed.py CERTIFIED_CELLS); the int16 narrow store of the residual
-shortcut is additionally bounded directly (max |round(shortcut)| < 2^15).
+shortcut is additionally bounded directly (max |round(shortcut)| < 2^15),
+and — where static_shortcut_bound clears 2^15 — PROVEN wrap-free for all
+inputs (shortcut_static stamp; required for the "static" grade, so a
+statically-graded artifact carries NO calibration-distribution caveat
+anywhere in its fast lowering, narrow stores included).
 A partially-certified artifact proves the layer-hybrid lowering equal the
 same way.
 
@@ -104,6 +108,66 @@ def static_layer_safe(qp: QuantParams, i: int) -> bool:
 def static_layer_stamps(qp: QuantParams) -> Tuple[bool, ...]:
     """static_layer_safe for every conv."""
     return tuple(static_layer_safe(qp, i) for i in range(qp.num_convs))
+
+
+def static_requant_bound(qp: QuantParams, i: int) -> float:
+    """Input-independent upper bound on max |round(relu(requant_i(...)))| —
+    the post-ReLU requant output of conv i (i < L-1; used for the int16
+    narrow stores of the residual shortcut, i=0, and of the L-2 -> residual
+    boundary). Hulls BOTH lowering forms of layer i:
+
+    - fast/packed: one full conv, 20-bit clamp, clipped bias_int add;
+    - PE-exact/hybrid: per-PE 18-bit clamps on (partial conv + floored-zero
+      restoration), 20-bit clamp on the 4-PE sum, the fused
+      clamp(bias_int - zero*sum(W)) bias (with the reference's unfloored-
+      zero quirk, quan_func.py:484).
+
+    Soundness: per-PE taps partition the kernel, clamping is monotone and
+    contractive, so every per-input trajectory of either form lies inside
+    the interval hull computed here over the full enforced int8 domain
+    (_input_interval); the two f32 roundings of apply_requant_f32 are
+    covered by the (1 + 1e-6) headroom, and round(x) <= x + 0.5."""
+    hw = qp.hw
+    lo_x, hi_x = _input_interval(qp, i)
+    w = np.asarray(qp.w_int[i], np.int64)
+    add_lo = -(1 << (hw.pe_add_bits - 1))
+    add_hi = (1 << (hw.pe_add_bits - 1)) - 1
+    acc_lo = -(1 << (hw.pe_acc_bits - 1))
+    acc_hi = (1 << (hw.pe_acc_bits - 1)) - 1
+    b_lo, b_hi = -(1 << (hw.bias_bits - 1)), (1 << (hw.bias_bits - 1)) - 1
+    bias = np.asarray(qp.bias_int[i], np.int64)
+
+    # form A (fast/packed)
+    t_hi = np.maximum(w * lo_x, w * hi_x).sum(axis=(0, 1, 2))
+    hi_a = np.clip(t_hi, add_lo, add_hi) + np.clip(bias, b_lo, b_hi)
+
+    # form B (PE-exact / hybrid)
+    z = qp.a_zero[i]
+    z_eff = qp.effective_zero(i)
+    ic = w.shape[2]
+    s_hi = np.zeros(w.shape[3], np.int64)
+    for p in range(hw.pe):
+        wp = w * (np.arange(ic) % hw.pe == p)[None, None, :, None]
+        p_hi = np.maximum(wp * lo_x, wp * hi_x).sum(axis=(0, 1, 2))
+        rest = z_eff * wp.sum(axis=(0, 1, 2))
+        s_hi += np.clip(p_hi + rest, acc_lo, acc_hi)
+    fused = np.clip(bias - z * w.sum(axis=(0, 1, 2)), b_lo, b_hi)
+    hi_b = np.clip(s_hi, add_lo, add_hi) + fused
+
+    hi_y = float(max(hi_a.max(), hi_b.max(), 0))
+    h_hi = hi_y * qp.requant_m[i] * 2.0 ** (-qp.requant_n[i]) * (1 + 1e-6)
+    return h_hi + 0.5
+
+
+def static_shortcut_bound(qp: QuantParams) -> float:
+    """static_requant_bound for the residual shortcut (layer 0)."""
+    return static_requant_bound(qp, 0)
+
+
+def static_shortcut_safe(qp: QuantParams) -> bool:
+    """True iff the int16 narrow store of the residual shortcut is PROVEN
+    wrap-free for ALL inputs (not just the calibration set)."""
+    return static_shortcut_bound(qp) < float(1 << 15)
 
 
 def adversarial_input_for_layer(qp: QuantParams, i: int):
@@ -212,6 +276,16 @@ def certify_fast(spec: SESRSpec, qp: QuantParams,
                                                qp.hw.pe)):
                 layer_ok[i] = False
 
+    # static proof for the int16 shortcut store; when it holds, the
+    # empirical max must lie under the interval bound or the bound is
+    # unsound — surface that loudly like the layer-counter cross-check
+    sc_bound = static_shortcut_bound(qp)
+    sc_static = sc_bound < float(1 << 15)
+    if sc_static and images:
+        assert shortcut_max <= sc_bound, (
+            f"shortcut statically bounded at {sc_bound:.1f} but measured "
+            f"{shortcut_max:.1f} — interval bound bug")
+
     ok = all(layer_ok)
     if ok:
         # direct bound on the int16 narrow store of the residual shortcut
@@ -257,4 +331,5 @@ def certify_fast(spec: SESRSpec, qp: QuantParams,
     return dataclasses.replace(qp, fast_cert_ok=ok,
                                fast_cert_images=len(images),
                                fast_cert_layers=tuple(layer_ok),
-                               fast_cert_static=tuple(static))
+                               fast_cert_static=tuple(static),
+                               shortcut_static=sc_static)

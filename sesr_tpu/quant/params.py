@@ -116,12 +116,19 @@ class QuantParams:
     # (fast_cert_layers[i] and not fast_cert_static[i]) remain evidence on
     # the calibration set only.
     fast_cert_static: Optional[Tuple[bool, ...]] = None
+    # STATIC proof that the int16 narrow store of the residual shortcut
+    # (ops/packed.py) cannot wrap for ANY input: interval bound on
+    # round(relu(requant_0(...))) over the full enforced int8 domain,
+    # hulling both lowering forms (quant/certify.py
+    # static_shortcut_bound). Without it the narrow store is only
+    # empirically bounded over the calibration set.
+    shortcut_static: bool = False
 
     @property
     def cert_grade(self) -> str:
-        """"static" (every layer proven for all inputs), "empirical"
-        (fully certified on the calibration set), "partial" (layer-hybrid
-        eligible), or "none".
+        """"static" (every layer AND the int16 shortcut store proven for
+        all inputs), "empirical" (fully certified on the calibration set),
+        "partial" (layer-hybrid eligible), or "none".
 
         "static" additionally requires fast_cert_ok: certify_fast demotes
         the whole artifact (fast_cert_ok=False, layers all-False) when a
@@ -129,7 +136,8 @@ class QuantParams:
         equality) — the per-layer interval proofs still hold then, but the
         artifact must not be reported at the strongest grade while its fast
         lowering is refused service."""
-        if (self.fast_cert_ok and self.fast_cert_static is not None
+        if (self.fast_cert_ok and self.shortcut_static
+                and self.fast_cert_static is not None
                 and all(self.fast_cert_static)):
             return "static"
         if self.fast_cert_ok:
@@ -194,6 +202,7 @@ class QuantParams:
                               else list(self.fast_cert_layers)),
             fast_cert_static=(None if self.fast_cert_static is None
                               else list(self.fast_cert_static)),
+            shortcut_static=self.shortcut_static,
         )
         np.savez(path, __meta__=json.dumps(meta), **arrays)
 
@@ -225,6 +234,7 @@ class QuantParams:
                               is None else
                               tuple(bool(b) for b in
                                     meta["fast_cert_static"])),
+            shortcut_static=bool(meta.get("shortcut_static", False)),
         )
 
 

@@ -149,6 +149,55 @@ def test_cert_grade_property():
     assert qp_n.cert_grade == "partial"
 
 
+def test_static_shortcut_bound():
+    """The int16 narrow store of the residual shortcut must be PROVEN
+    wrap-free for all inputs where the interval bound clears 2^15 — and the
+    bound must actually bound the measured shortcut (soundness) while a
+    crafted hostile requant drives it past the limit (non-vacuity)."""
+    import dataclasses
+    from sesr_tpu.quant.certify import (static_shortcut_bound,
+                                        static_shortcut_safe)
+
+    spec, images, qp = _fresh_qparams("sr_x2")
+    bound = static_shortcut_bound(qp)
+    assert np.isfinite(bound) and bound > 0
+    qp_c = certify_fast(spec, qp, images)
+    assert qp_c.shortcut_static == (bound < float(1 << 15))
+    # soundness: the measured shortcut on real images stays under the bound
+    _, dumps = integer_forward(spec, qp_c, jnp.asarray(images[0]),
+                               collect_dumps=True, corrected=True)
+    assert float(np.abs(np.round(np.asarray(dumps["shortcut"]))).max()) \
+        <= bound
+    # non-vacuity: a hostile layer-0 requant factor blows the bound
+    qp_bad = dataclasses.replace(
+        qp, requant_m=[65535] + list(qp.requant_m[1:]),
+        requant_n=[0] + list(qp.requant_n[1:]))
+    assert not static_shortcut_safe(qp_bad)
+    # the stamp survives serialization
+    import tempfile, os as _os
+    with tempfile.TemporaryDirectory() as d:
+        p = _os.path.join(d, "qp.npz")
+        qp_c.save(p)
+        assert QuantParams.load(p).shortcut_static == qp_c.shortcut_static
+
+
+def test_cert_grade_requires_shortcut_static():
+    """An artifact whose layers are all statically proven but whose int16
+    shortcut store is only empirically bounded must not claim the fully-
+    static grade (an OOD input could wrap the narrow store)."""
+    import dataclasses
+
+    spec, images, qp = _fresh_qparams("sr_x2")
+    qp_c = certify_fast(spec, qp, images)
+    L = qp.num_convs
+    all_static = dataclasses.replace(
+        qp_c, fast_cert_ok=True, fast_cert_layers=tuple([True] * L),
+        fast_cert_static=tuple([True] * L), shortcut_static=True)
+    assert all_static.cert_grade == "static"
+    no_sc = dataclasses.replace(all_static, shortcut_static=False)
+    assert no_sc.cert_grade == "empirical"
+
+
 def test_cert_grade_demoted_artifact_is_not_static():
     """certify_fast demotes the WHOLE artifact (fast_cert_ok=False, layers
     all-False) when a whole-artifact obligation fails even though the

@@ -33,7 +33,9 @@ def test_cli_infer(capsys):
     main(["infer", "--task", "sr_x2", "--qparams", QP_SR_X2,
           "--n-images", "1"])
     out = capsys.readouterr().out
-    assert "packed(2x4, fast) mean psnr" in out
+    # default cells are mode-dependent: 1x8 for the certified fast
+    # lowering (FAST_DEFAULT_CELLS), 2x4 for hybrid/pe-exact
+    assert "packed(1x8, fast) mean psnr" in out
     psnr = float(out.split("psnr:")[1].split()[0])
     assert psnr > 20.0            # sanity: a real image came through
 

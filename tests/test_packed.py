@@ -89,6 +89,30 @@ def test_packed_fast_odd_sizes():
     np.testing.assert_array_equal(np.asarray(y_packed), np.asarray(y_fast))
 
 
+@pytest.mark.parametrize("task", ["sr_x2", "sr_x4", "dm"])
+def test_strided_entry_equals_packed_entry(task):
+    """entry="strided" (fold quantize+pad+s2d+conv0 into one strided conv,
+    the r3f/r3g entry-cost elimination) must be bit-identical to the
+    explicit entry transform on every certified geometry, aligned and
+    pad-mask (odd) sizes alike. Exactness argument: <= 3 input channels
+    keep every f32 partial sum of the expanded kernel under 2^24
+    (ops/packed.py strided_entry_weight)."""
+    path = os.path.join(ARTIFACTS, f"qparams_{task}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"{path} missing")
+    spec = spec_for_task(task)
+    qp = QuantParams.load(path)
+    rng = np.random.default_rng(11)
+    for hw_ in ((64, 96), (33, 47)):
+        x = jnp.asarray(rng.random((1, *hw_, spec.in_channels),
+                                   dtype=np.float32))
+        for s in ((2, 4), (4, 2), (2, 2), (4, 4)):
+            y_s = packed_fast_forward(spec, qp, x, s=s, entry="strided")
+            y_p = packed_fast_forward(spec, qp, x, s=s, entry="packed")
+            np.testing.assert_array_equal(np.asarray(y_s), np.asarray(y_p),
+                                          err_msg=f"{hw_} {s}")
+
+
 def test_packed_refuses_uncertified():
     spec = spec_for_task("sr_x2")
     from sesr_tpu.io.torch_import import load_reference_checkpoint
