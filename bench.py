@@ -202,6 +202,11 @@ def main():
                                                              (2, 4))),
             "packed_2x4_b8": (8, lambda c: _packed_fast_impl(spec, c, qp,
                                                              (2, 4))),
+            # the (1,8) default fixed the batching regression: r3i
+            # measured b8 at 759 vs 443 Mpx/s interleaved — batching
+            # HELPS at the reshape-only packing
+            "packed_1x8_b8": (8, lambda c: _packed_fast_impl(spec, c, qp,
+                                                             (1, 8))),
         }
         # resolution scaling: full-HD input -> 4K output, f32 vs int8
         # output contracts, interleaved in this same process. (In-chip

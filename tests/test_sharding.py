@@ -372,6 +372,31 @@ def test_sharded_packed_forward_bit_exact():
     np.testing.assert_array_equal(np.asarray(y_shard), np.asarray(y_mono))
 
 
+def test_sharded_packed_1x8_cells_bit_exact():
+    """The (1,8) W-only cells — the round-3 monolithic deployment default
+    (ops/packed.py FAST_DEFAULT_CELLS) — also shard over W: one-CELL halos
+    are 8 original pixels wide, local W must be a multiple of 8."""
+    import os
+    from sesr_tpu.parallel.tiling import sharded_packed_forward
+    from sesr_tpu.ops.packed import packed_fast_forward
+    from sesr_tpu.quant.params import QuantParams
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "artifacts",
+                        "qparams_sr_x2.npz")
+    if not os.path.exists(path):
+        pytest.skip("qparams_sr_x2.npz missing")
+    spec = spec_for_task("sr_x2")
+    qp = QuantParams.load(path)
+    mesh = make_mesh(8, dp=2, sp=4)
+
+    rng = np.random.default_rng(31)
+    # W = 96: 24 per shard, multiple of s_w=8
+    x = rng.random((2, 24, 96, 3), dtype=np.float32)
+    y_mono = packed_fast_forward(spec, qp, jnp.asarray(x), s=(1, 8))
+    y_shard = sharded_packed_forward(spec, qp, mesh, s=(1, 8))(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(y_shard), np.asarray(y_mono))
+
+
 def test_sharded_packed_2d_bit_exact():
     """The deployment packed datapath on the 2D (dp, sph, spw) spatial mesh
     with per-layer one-cell 2D halos (corners via the two-hop exchange) ==
