@@ -83,6 +83,13 @@ def space_to_depth_nhwc(x, s: SLike):
     sh, sw = _s2(s)
     n, h, w, c = x.shape
     assert h % sh == 0 and w % sw == 0, (h, w, s)
+    if sh == 1:
+        # W-only packing: W and C are memory-adjacent in NHWC, so this is
+        # a PURE RESHAPE. Perf-neutral vs the general singleton-transpose
+        # form (XLA already elides it: r3k interleaved medians 626 vs 626
+        # at 1080p, 762 vs 751 at b8 — an apparent 0.1 ms r3j gap did not
+        # reproduce); kept for clarity and layout certainty.
+        return x.reshape(n, h, w // sw, sw * c)
     x = x.reshape(n, h // sh, sh, w // sw, sw, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(n, h // sh, w // sw, sh * sw * c)
@@ -94,6 +101,9 @@ def depth_to_space_nhwc(x, s: SLike):
     sh, sw = _s2(s)
     n, hs, ws, csq = x.shape
     c = csq // (sh * sw)
+    if sh == 1:
+        # pure reshape (see space_to_depth_nhwc)
+        return x.reshape(n, hs, ws * sw, c)
     x = x.reshape(n, hs, ws, sh, sw, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(n, hs * sh, ws * sw, c)
@@ -114,6 +124,9 @@ def packed_to_image_nhwc(x, s: SLike, r: int = 1):
     sh, sw = _s2(s)
     n, hs, ws, cp = x.shape
     c = cp // (sh * sw * r * r)
+    if sh == 1 and r == 1:
+        # pure reshape (see space_to_depth_nhwc)
+        return x.reshape(n, hs, ws * sw, c)
     x = x.reshape(n, hs, ws, sh, sw, c, r, r)
     # (n, Y, X, dy, dx, c, i, j) -> (n, Y, dy, i, X, dx, j, c)
     x = x.transpose(0, 1, 3, 6, 2, 4, 7, 5)
@@ -447,10 +460,12 @@ def packed_fast_forward(spec: SESRSpec, qp: QuantParams, x,
     running on an (s_h*s_w)-wider channel axis. Requires a certified
     artifact for the same reason the fast path does (quant/certify.py).
 
-    ``s``: cell size, an int (square) or (s_h, s_w). Default (2, 4) — 2x4
-    cells, 128-channel interior convs: the fastest STABLE configuration
-    measured on a TPU v5e for 540x960 frames (median 603 Mpx/s; 4x4 swings
-    400-777 run-to-run).
+    ``s``: cell size, an int (square) or (s_h, s_w). Default
+    FAST_DEFAULT_CELLS = (1, 8): W-only cells, 128-channel interior
+    convs, entry/exit packing by pure reshape — ties (2, 4) at 540p and
+    wins +44-71% at 1080p/4K/batch>1 on a TPU v5e (interleaved medians,
+    tools/bench_probe_r3{h,i}.py; earlier A/Bs: 2x4 621 > 4x2 587 >
+    4x4 416).
 
     ``halo_axis``: mesh axis name for W-sharded execution inside shard_map
     (see parallel/tiling.py sharded_packed_forward).
