@@ -24,14 +24,16 @@ Measurement protocol (hard-won; see CLAUDE.md "Environment gotchas"):
   affect in-loop iterations.
 
 Measured configuration: the channel-packed deployment datapath
-(ops/packed.py, 2x4 cells -> 128-channel interior convs on the MXU, int8
-inter-layer boundaries), bit-identical to the PE-exact path under the
-enforced saturation-freedom certificate (quant/certify.py; the artifact
-refuses to run fast-mode uncertified). Round-1's unpacked fast path
-measured 78.9 Mpx/s on the same protocol; packing multiplies MXU lane
-fill ~8x for a 5.6x dense-weight FLOP inflation, and the narrow (int8)
-inter-layer stores cut HBM traffic ~4x. 2x4 is the fastest configuration
-by interleaved A/B (medians: 2x4 = 621, 4x2 = 587, 4x4 = 416 Mpx/s —
+(ops/packed.py, (1,8) W-only cells -> 128-channel interior convs on the
+MXU, int8 inter-layer boundaries), bit-identical to the PE-exact path
+under the enforced saturation-freedom certificate (quant/certify.py; the
+artifact refuses to run fast-mode uncertified). Round-1's unpacked fast
+path measured 78.9 Mpx/s on the same protocol; packing multiplies MXU
+lane fill ~8x for an ~8x dense-weight FLOP inflation on the k=3 layers,
+and the narrow (int8) inter-layer stores cut HBM traffic ~4x. (1,8) is
+the shipped default by interleaved A/B (it ties the old 2x4 at 540p and
+wins +44-71% at 1080p/4K/batch>1 — tools/bench_probe_r3{h,i}.py; the
+previous default is still measured interleaved below for the record;
 cross-run comparisons on this tunneled chip drift 15-40%, see CLAUDE.md).
 
 vs_baseline: the reference's own bit-exact INT8 path (exe_mode=1 fx
@@ -170,7 +172,8 @@ def main():
             sp_t = spec_for_task(task)
             qp_t = QuantParams.load(path)
             mode, fwd = select_packed_forward(qp_t)
-            cells_t = (1, 8) if mode == "fast" else (2, 4)
+            from sesr_tpu.ops.packed import default_cells
+            cells_t = default_cells(mode)
             x_t = jax.device_put(jnp.asarray(rng.random(
                 (1, H, W, sp_t.in_channels), dtype=np.float32)))
             try:

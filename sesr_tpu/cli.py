@@ -217,28 +217,34 @@ def cmd_infer(args):
     import jax.numpy as jnp
     from sesr_tpu.config import spec_for_task
     from sesr_tpu.metrics import evaluate_pair
-    from sesr_tpu.ops.packed import select_packed_forward, CERTIFIED_CELLS
+    from sesr_tpu.ops.packed import select_packed_forward
     from sesr_tpu.quant.params import QuantParams
 
-    from sesr_tpu.ops.packed import FAST_DEFAULT_CELLS
+    from sesr_tpu.ops.packed import default_cells
 
     spec = spec_for_task(args.task)
     qp = QuantParams.load(args.qparams)
     mode, fwd = select_packed_forward(qp)
+    # the fast/hybrid lowerings are belt-and-braces verified on exactly
+    # the geometry set the ARTIFACT's certification executed (stamped as
+    # qp.cert_cells — an artifact stamped before a geometry entered
+    # CERTIFIED_CELLS must not silently serve it); the PE-exact lowering
+    # needs no certificate and accepts any cells
+    cert_set = qp.cert_cells or ()
     if args.cells is None:
-        # measured per-mode winners (ops/packed.py FAST_DEFAULT_CELLS)
-        s = FAST_DEFAULT_CELLS if mode == "fast" else (2, 4)
+        s = default_cells(mode)       # measured per-mode winners
+        if mode != "pe-exact" and cert_set and s not in cert_set:
+            s = cert_set[0]           # older artifact: first certified geom
         args.cells = "x".join(map(str, s))
     else:
         s = tuple(int(v) for v in args.cells.split("x"))
-    if mode != "pe-exact" and s not in CERTIFIED_CELLS:
-        # the fast/hybrid lowerings are belt-and-braces verified on exactly
-        # this geometry set at certification time (quant/certify.py); the
-        # PE-exact lowering needs no certificate and accepts any cells
+    if mode != "pe-exact" and s not in cert_set:
         raise SystemExit(
-            f"--cells {args.cells} is outside the certified geometry set "
-            f"{['x'.join(map(str, c)) for c in CERTIFIED_CELLS]} for the "
-            f"'{mode}' lowering; use one of those or a PE-exact artifact")
+            f"--cells {args.cells} is outside this artifact's certified "
+            f"geometry set {['x'.join(map(str, c)) for c in cert_set]} for "
+            f"the '{mode}' lowering; use one of those, re-certify "
+            f"(python -m sesr_tpu certify --out), or use a PE-exact "
+            f"artifact")
     data = list(_dataset(args.task, args))
     tot_p = tot_s = n = 0
     for inp, gt in data:

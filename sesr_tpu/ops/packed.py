@@ -74,6 +74,17 @@ CERTIFIED_CELLS: Tuple[Tuple[int, int], ...] = ((1, 8), (2, 4), (4, 2),
 FAST_DEFAULT_CELLS: Tuple[int, int] = (1, 8)
 
 
+def default_cells(mode: str) -> Tuple[int, int]:
+    """The measured default cell geometry per lowering mode — the ONE
+    policy point shared by the CLI, bench.py, and the multihost builder.
+    fast AND hybrid: FAST_DEFAULT_CELLS — the hybrid medians also favor
+    (1,8) in two independent interleaved sessions (r3i nr 899 vs 657;
+    r3l nr 718 vs 618, nrdm_6 464 vs 451 — reps overlap, medians agree;
+    the OC-concat lane-fill logic depends on cell COUNT, identical at 8).
+    pe-exact keeps (2, 4): unmeasured at (1,8)."""
+    return (2, 4) if mode == "pe-exact" else FAST_DEFAULT_CELLS
+
+
 def _s2(s: SLike) -> Tuple[int, int]:
     return (s, s) if isinstance(s, int) else (int(s[0]), int(s[1]))
 
@@ -323,6 +334,7 @@ def _packed_fast_impl(spec: SESRSpec, x, qp_static, s: SLike,
     qmin, qmax = float(-(1 << (bits - 1))), float((1 << (bits - 1)) - 1)
     bias_hi = (1 << (hw.bias_bits - 1)) - 1
 
+    assert entry in ("auto", "packed", "strided"), entry
     n, H, W, c_in = x.shape
     if entry == "auto":
         # strided pays off only where the explicit entry transform is a
@@ -659,10 +671,12 @@ def select_packed_forward(qp: QuantParams):
     """(mode, fn): the fastest certificate-SOUND packed lowering for this
     artifact — "fast" when fully certified, "hybrid" when saturation is
     confined to stamped-unsafe layers, "pe-exact" otherwise (always sound,
-    never refuses). All three fns share the signature
-    fn(spec, qp, x, s=(2, 4), halo_axis=None). Single decision point for
-    the CLI, the multihost builder, and anything else that serves
-    arbitrary artifacts."""
+    never refuses). All three fns accept fn(spec, qp, x, s=..., halo_axis=
+    None) but their s DEFAULTS are mode-dependent (fast:
+    FAST_DEFAULT_CELLS; hybrid/pe-exact: (2, 4)) — callers that must run
+    one geometry across modes should pass s explicitly, via
+    default_cells(mode). Single decision point for the CLI, the multihost
+    builder, and anything else that serves arbitrary artifacts."""
     if getattr(qp, "fast_cert_ok", False):
         return "fast", packed_fast_forward
     layers = getattr(qp, "fast_cert_layers", None)

@@ -167,6 +167,13 @@ def multihost_tail_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
     if lowering == "deployment":
         from sesr_tpu.ops.packed import select_packed_forward
         _mode, pf = select_packed_forward(qp)
+        # pin the geometry: the lowerings' own s defaults are
+        # mode-dependent (FAST_DEFAULT_CELLS vs (2,4)) while the batch
+        # path multihost_packed_forward defaults to (2,4) — an implicit s
+        # here would give the tail a DIFFERENT geometry (and (1,8) needs
+        # W_local % 8, which the stream guard doesn't check for)
+        fwd_kwargs = dict(fwd_kwargs)
+        fwd_kwargs.setdefault("s", (2, 4))
 
         def local_fn(x):
             return pf(spec, qp, x, halo_axis=(None, w_axes), **fwd_kwargs)

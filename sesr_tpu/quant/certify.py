@@ -35,7 +35,10 @@ WHOLE-ARTIFACT equality obligations: a fully-certified artifact has the
 fast interpreter AND the channel-packed fast lowering (ops/packed.py,
 narrow int8/int16 inter-layer stores) proven array-equal to the PE-exact
 interpreter on every image and every deployment cell geometry
-(ops/packed.py CERTIFIED_CELLS); the int16 narrow store of the residual
+(ops/packed.py CERTIFIED_CELLS — recorded into the artifact as
+qp.cert_cells so the CLI gates geometries against what THIS artifact's
+run actually executed), plus the strided-entry variant that serves
+s_h>1 cells on large frames; the int16 narrow store of the residual
 shortcut is additionally bounded directly (max |round(shortcut)| < 2^15),
 and — where static_shortcut_bound clears 2^15 — PROVEN wrap-free for all
 inputs (shortcut_static stamp; required for the "static" grade, so a
@@ -314,6 +317,18 @@ def certify_fast(spec: SESRSpec, qp: QuantParams,
                         break
                 if not ok:
                     break
+        if ok:
+            # the STRIDED-entry variant (entry="auto" selects it for
+            # s_h>1 cells on >=1.5 Mpx frames in deployment, which the
+            # small calibration crops never trigger through "auto" —
+            # exercise it explicitly so the program serving large frames
+            # is inside the equality proof)
+            for img, y_e in zip(images, exact_outs):
+                y_s = packed_fast_forward(spec, qp_try, img, (2, 4),
+                                          entry="strided")
+                if not np.array_equal(y_e, np.asarray(y_s)):
+                    ok, layer_ok = False, [False] * L
+                    break
     elif any(layer_ok):
         from sesr_tpu.ops.packed import packed_hybrid_forward
         qp_h = dataclasses.replace(qp_try, fast_cert_ok=False,
@@ -332,4 +347,5 @@ def certify_fast(spec: SESRSpec, qp: QuantParams,
                                fast_cert_images=len(images),
                                fast_cert_layers=tuple(layer_ok),
                                fast_cert_static=tuple(static),
-                               shortcut_static=sc_static)
+                               shortcut_static=sc_static,
+                               cert_cells=tuple(CERTIFIED_CELLS))

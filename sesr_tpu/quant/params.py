@@ -123,6 +123,12 @@ class QuantParams:
     # static_shortcut_bound). Without it the narrow store is only
     # empirically bounded over the calibration set.
     shortcut_static: bool = False
+    # the cell geometries whose packed lowerings the certification's
+    # equality obligations ACTUALLY executed (quant/certify.py stamps the
+    # CERTIFIED_CELLS of its run) — the CLI gates --cells against the
+    # artifact's own record, so an artifact stamped before a geometry was
+    # added to CERTIFIED_CELLS cannot silently serve it
+    cert_cells: Optional[Tuple[Tuple[int, int], ...]] = None
 
     @property
     def cert_grade(self) -> str:
@@ -203,6 +209,8 @@ class QuantParams:
             fast_cert_static=(None if self.fast_cert_static is None
                               else list(self.fast_cert_static)),
             shortcut_static=self.shortcut_static,
+            cert_cells=(None if self.cert_cells is None
+                        else [list(c) for c in self.cert_cells]),
         )
         np.savez(path, __meta__=json.dumps(meta), **arrays)
 
@@ -235,6 +243,14 @@ class QuantParams:
                               tuple(bool(b) for b in
                                     meta["fast_cert_static"])),
             shortcut_static=bool(meta.get("shortcut_static", False)),
+            cert_cells=(
+                tuple(tuple(int(v) for v in c) for c in meta["cert_cells"])
+                if meta.get("cert_cells") is not None
+                # legacy artifact (stamped before the geometry record
+                # existed): the equality obligations of those runs executed
+                # exactly this set
+                else (((2, 4), (4, 2), (2, 2), (4, 4))
+                      if meta.get("fast_cert_layers") is not None else None)),
         )
 
 

@@ -41,6 +41,28 @@ def test_cli_infer(capsys):
 
 
 @needs_artifact
+def test_cli_infer_legacy_artifact_cells_gate(tmp_path, capsys):
+    """An artifact stamped before (1,8) entered CERTIFIED_CELLS records
+    only the legacy geometry set: the CLI's default must fall back to its
+    first certified geometry (2x4), and an explicit --cells 1x8 must be
+    REJECTED rather than served unverified."""
+    import dataclasses
+    from sesr_tpu.quant.params import QuantParams
+
+    qp = QuantParams.load(QP_SR_X2)
+    legacy = dataclasses.replace(
+        qp, cert_cells=((2, 4), (4, 2), (2, 2), (4, 4)))
+    p = str(tmp_path / "legacy.npz")
+    legacy.save(p)
+    main(["infer", "--task", "sr_x2", "--qparams", p, "--n-images", "1"])
+    out = capsys.readouterr().out
+    assert "packed(2x4, fast) mean psnr" in out
+    with pytest.raises(SystemExit, match="certified geometry set"):
+        main(["infer", "--task", "sr_x2", "--qparams", p,
+              "--n-images", "1", "--cells", "1x8"])
+
+
+@needs_artifact
 def test_cli_infer_hybrid_fallback(capsys):
     """A saturating task's artifact (nr: fast_cert_ok=False, last layer
     unsafe) runs the layer-hybrid lowering through the same command."""
@@ -49,7 +71,7 @@ def test_cli_infer_hybrid_fallback(capsys):
         pytest.skip("nr artifact not built")
     main(["infer", "--task", "nr", "--qparams", qp_nr, "--n-images", "1"])
     out = capsys.readouterr().out
-    assert "packed(2x4, hybrid) mean psnr" in out
+    assert "packed(1x8, hybrid) mean psnr" in out
     psnr = float(out.split("psnr:")[1].split()[0])
     assert psnr > 15.0
 
