@@ -68,7 +68,7 @@ def cmd_eval_float(args):
     spec = spec_for_task(args.task)
     params = _load_params(args.task, args)
     tot_p = tot_s = n = 0
-    for inp, gt in _dataset(args.task, args):
+    for inp, gt, *_ in _dataset(args.task, args):
         y = np.asarray(forward_float(spec, params, jnp.asarray(inp)))
         p, s = evaluate_pair(args.task, y[0], gt[0], inp[0])
         print(f"psnr={p:.4f} ssim={s:.4f}")
@@ -77,21 +77,39 @@ def cmd_eval_float(args):
 
 
 def cmd_calibrate(args):
+    import warnings
     import jax.numpy as jnp
     from sesr_tpu.config import spec_for_task
-    from sesr_tpu.quant.calibrate import calibrate, fake_quant_forward
+    from sesr_tpu.quant.calibrate import (calibrate, fake_quant_forward,
+                                          ObserverRegressionWarning)
     from sesr_tpu.metrics import evaluate_pair
 
     spec = spec_for_task(args.task)
     params = _load_params(args.task, args)
     data = list(_dataset(args.task, args))
-    qp = calibrate(spec, params, [inp for inp, _ in data],
-                   observer=args.observer)
+    # observer guardrail (round-3 ablation: KL silently loses ~12 dB on the
+    # raw-domain tasks): a >1 dB regression vs minmax is an error unless
+    # --force acknowledges it
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always", ObserverRegressionWarning)
+        qp = calibrate(spec, params, [d[0] for d in data],
+                       observer=args.observer)
+    for w in caught:
+        if issubclass(w.category, ObserverRegressionWarning):
+            if args.force:
+                print(f"WARNING (forced): {w.message}", file=sys.stderr)
+            else:
+                raise SystemExit(f"calibrate: {w.message}\n"
+                                 f"(re-run with --force to keep this "
+                                 f"observer anyway)")
+        else:
+            warnings.warn_explicit(w.message, w.category, w.filename,
+                                   w.lineno)
     qp.save(args.out)
     print(f"saved {args.out}")
     if not args.no_eval:
         tot_p = tot_s = n = 0
-        for inp, gt in data:
+        for inp, gt, *_ in data:
             y = np.asarray(fake_quant_forward(spec, params, jnp.asarray(inp)))
             p, s = evaluate_pair(args.task, y[0], gt[0], inp[0])
             tot_p, tot_s, n = tot_p + p, tot_s + s, n + 1
@@ -154,7 +172,28 @@ def cmd_train(args):
     from sesr_tpu.io.checkpoint import save_training_state, load_training_state
 
     spec = spec_for_task(args.task)
-    params = init_expanded(spec, jax.random.PRNGKey(args.seed))
+    if getattr(args, "init_checkpoint", None):
+        # the reference's actual training recipe is a warm-start fine-tune
+        # from a float checkpoint (train.py:51-52 loads *_raw_G.pth into
+        # the uncollapsed model); load the torch state dict into
+        # ExpandedParams (expand/squeeze shapes required)
+        from sesr_tpu.config import REFERENCE_CHECKPOINTS
+        from sesr_tpu.io.torch_import import _to_numpy_state
+        from sesr_tpu.models.expanded import expanded_from_state_dict
+        ckpt = args.init_checkpoint
+        if ckpt == "reference":
+            ckpt = ("/root/reference/model_params/"
+                    + REFERENCE_CHECKPOINTS[args.task])
+        try:
+            params = expanded_from_state_dict(spec, _to_numpy_state(ckpt))
+        except KeyError as e:
+            raise SystemExit(
+                f"--init-checkpoint {ckpt}: missing {e} — warm start needs "
+                "an UNCOLLAPSED (expand/squeeze) float checkpoint like the "
+                "reference's *_raw_G.pth / *_G.pth files")
+        print(f"warm start from {ckpt}")
+    else:
+        params = init_expanded(spec, jax.random.PRNGKey(args.seed))
     cfg = QATConfig() if args.qat else None
     qstate = prepare(spec, cfg or QATConfig())
     opt = optax.adam(args.lr)
@@ -247,7 +286,7 @@ def cmd_infer(args):
             f"artifact")
     data = list(_dataset(args.task, args))
     tot_p = tot_s = n = 0
-    for inp, gt in data:
+    for inp, gt, *_ in data:
         y = np.asarray(fwd(spec, qp, jnp.asarray(inp), s=s))
         p, ss = evaluate_pair(args.task, y[0], gt[0], inp[0])
         if args.save_dir:
@@ -265,12 +304,22 @@ def cmd_certify(args):
     source and print the per-layer stamps (S = statically proven for ALL
     inputs, F = empirically fast-safe on this set, x = saturates)."""
     from sesr_tpu.config import spec_for_task
-    from sesr_tpu.quant.certify import certify_fast, static_layer_stamps
+    from sesr_tpu.quant.certify import (certify_fast, static_layer_stamps,
+                                        static_shortcut_safe)
     from sesr_tpu.quant.params import QuantParams
 
     spec = spec_for_task(args.task)
     qp = QuantParams.load(args.qparams)
     images = [inp for inp, *_ in _dataset(args.task, args)]
+    if not images and not (all(static_layer_stamps(qp))
+                           and static_shortcut_safe(qp)):
+        # certify_fast itself refuses zero-evidence empirical stamps; fail
+        # loudly here instead of silently emitting a refused artifact
+        raise SystemExit(
+            "certify: zero images can only certify a fully STATIC artifact "
+            "(every layer and the int16 shortcut store proven by interval "
+            "arithmetic); this artifact needs empirical evidence — use "
+            "--n-images > 0 or point --data at a calibration set")
     qp2 = certify_fast(spec, qp, images)
     print(f"{args.task}: grade={qp2.cert_grade} layers={qp2.cert_stamps} "
           f"over {qp2.fast_cert_images} images")
@@ -296,7 +345,7 @@ def cmd_hist(args):
     spec = spec_for_task(args.task)
     params = _load_params(args.task, args)
     data = list(_dataset(args.task, args))
-    files = dump_histograms(spec, params, [inp for inp, _ in data], args.out)
+    files = dump_histograms(spec, params, [d[0] for d in data], args.out)
     print(f"wrote {len(files)} histogram PNGs under {args.out}")
 
 
@@ -385,6 +434,10 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--observer", default="minmax",
                    choices=["minmax", "percentile", "kl"])
+    p.add_argument("--force", action="store_true",
+                   help="keep the chosen observer even when it regresses "
+                        ">1 dB vs minmax on the calibration set (the "
+                        "guardrail for KL on raw-domain tasks)")
     p.add_argument("--no-eval", action="store_true")
     p.set_defaults(fn=cmd_calibrate)
 
@@ -408,6 +461,10 @@ def main(argv=None):
     p = sub.add_parser("train", help="float / QAT training (train.py)")
     common(p)
     p.add_argument("--qat", action="store_true")
+    p.add_argument("--init-checkpoint", default=None,
+                   help="warm-start fine-tune from a reference .pth "
+                        "(uncollapsed expand/squeeze shapes; 'reference' = "
+                        "the task's shipped checkpoint — train.py:51-52)")
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--seed", type=int, default=0)

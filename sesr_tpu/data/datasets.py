@@ -89,9 +89,19 @@ class SRFolderDataset:
 
 
 class RawBayerDataset:
-    """DIV2K-RAW-style pairs: `.raw` uint16 Bayer planes named
+    """DIV2K-RAW-style triples: `.raw` uint16 Bayer planes named
     name_H_W.raw + matching 12-bit PNG ground truth (self_dataset.py:204-318).
-    The raw plane is expanded to the sparse 3-channel input."""
+    The raw plane is expanded to the sparse 3-channel input.
+
+    Yields (inp, gt, variance) — the L2 contract of SURVEY §1. The
+    reference's TestDataset computes the per-pixel noise variance map
+    (shot*noisy + read, from the NOISY tensor — self_dataset.py:285-288)
+    but its live return statement drops it (:318, a 2-tuple; only
+    TrainDataset returns its variance, :202). Here the test loader keeps
+    the full triple for contract parity — zeros when add_test_noise is
+    off, mirroring the reference's `variance = 0` convention for the
+    noise-free branches (:281,:286 of the spec'd block). Nothing
+    downstream consumes it (the reference's eval discards it too)."""
 
     def __init__(self, raw_dir: str, png_dir: Optional[str] = None,
                  add_test_noise: bool = False, seed: int = 0):
@@ -120,12 +130,19 @@ class RawBayerDataset:
         if self.add_test_noise:
             shot, read = random_noise_levels(self.rng)
             inp, _ = add_noise(inp, shot, read, self.rng)
+            # the reference recomputes the variance from the NOISY,
+            # unclamped tensor (self_dataset.py:285-288), not add_noise's
+            # clean-signal variance
+            variance = (shot * inp + read).astype(np.float32)
+        else:
+            variance = np.zeros_like(inp, dtype=np.float32)
         png = os.path.join(self.png_dir or os.path.dirname(path),
                            base.split("_")[0] + ".png")
         gt = _imread_rgb(png, bit_depth=12).transpose(2, 0, 1)
         inp = np.clip(inp, 0, 1).transpose(1, 2, 0)
         gt = np.clip(gt, 0, 1).transpose(1, 2, 0)
-        return inp[None].astype(np.float32), gt[None].astype(np.float32)
+        return (inp[None].astype(np.float32), gt[None].astype(np.float32),
+                variance.transpose(1, 2, 0)[None])
 
     def __iter__(self):
         for i in range(len(self)):

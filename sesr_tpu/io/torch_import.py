@@ -112,7 +112,9 @@ def qat_collapse_block(w_exp: np.ndarray, w_sq: np.ndarray,
     accumulation. The squeeze conv fake-quants that intermediate and its
     own weights, then contracts the 256-channel axis (f32; torch's sgemm
     order differs in the last ulp — parity is tolerance-tested in
-    tests/test_qat_golden.py). Returns (kernel OIHW, bias)."""
+    tests/test_models_float.py::test_qat_collapse_parity_nrdm_6, and the composed
+    pipeline byte-exactly by the *_qat goldens in
+    tests/test_integer_bitexact.py). Returns (kernel OIHW, bias)."""
     w_exp = np.asarray(w_exp, np.float32)       # (tmp, in, k, k)
     w_sq = np.asarray(w_sq, np.float32)         # (out, tmp, 1, 1)
     b_sq = np.asarray(b_sq, np.float32)
@@ -178,8 +180,13 @@ def load_qat_add_bounds(task: str,
     QuantAdd observers keep their INIT state — zeros. Returning (0.0, 0.0)
     reproduces exactly what the fx trace freezes there (the scale then
     degenerates to the f32 eps floor; pinned end to end by the
-    sr_x4_qat/sr_x2_qat goldens)."""
-    name = QAT_CHECKPOINTS.get(task)
+    sr_x4_qat/sr_x2_qat goldens). That quirk is ONLY for tasks explicitly
+    mapped to None — an unknown task name is an error, not a degenerate
+    eps-floor scale."""
+    if task not in QAT_CHECKPOINTS:
+        raise ValueError(f"no QAT checkpoint mapping for task {task!r} "
+                         f"(known: {sorted(QAT_CHECKPOINTS)})")
+    name = QAT_CHECKPOINTS[task]
     if name is None:
         return 0.0, 0.0
     import torch

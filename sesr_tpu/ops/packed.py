@@ -63,14 +63,14 @@ SLike = Union[int, Tuple[int, int]]
 CERTIFIED_CELLS: Tuple[Tuple[int, int], ...] = ((1, 8), (2, 4), (4, 2),
                                                 (2, 2), (4, 4))
 
-# deployment default for the certified fast path: W-ONLY packing — its
-# space_to_depth is a pure reshape (W and C are memory-adjacent in NHWC,
-# no transpose at all), with the same 128-lane fill and the same 8x k=3
-# inflation as (2, 4). r3h interleaved medians: 540p 612 (1,8) vs 604
-# (2,4) — a tie — but 1080p 618 vs 389, +59%, erasing the resolution-
-# scaling regression (flat 540p -> 1080p). The hybrid/PE-exact lowerings
-# keep (2, 4): their lane-fill tuning (OC-concat decisions) was measured
-# there.
+# deployment default for the certified fast AND hybrid lowerings: W-ONLY
+# packing — its space_to_depth is a pure reshape (W and C are memory-
+# adjacent in NHWC, no transpose at all), with the same 128-lane fill and
+# the same 8x k=3 inflation as (2, 4). r3h interleaved medians: 540p 612
+# (1,8) vs 604 (2,4) — a tie — but 1080p 618 vs 389, +59%, erasing the
+# resolution-scaling regression (flat 540p -> 1080p); hybrid medians also
+# favor (1,8) (r3i/r3l, see default_cells). Only the PE-exact lowering
+# keeps (2, 4) pending its own A/B.
 FAST_DEFAULT_CELLS: Tuple[int, int] = (1, 8)
 
 

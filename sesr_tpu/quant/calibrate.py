@@ -200,6 +200,35 @@ def fake_quant_forward(spec: SESRSpec, params: CollapsedParams, x,
     return y
 
 
+class ObserverRegressionWarning(UserWarning):
+    """The chosen calibration observer measurably degrades the deployment
+    integer path vs plain minmax on the calibration set (> 1 dB). Fired by
+    calibrate(guard=True) — the productized lesson of the round-3 observer
+    ablation (BASELINE.md): KL gains ~0.5 dB on the SR tasks but silently
+    clips the sparse Bayer ranges of the raw-domain tasks by ~12 dB, the
+    likely reason the reference's author abandoned it (define.py:16-20)."""
+
+
+def quantization_fidelity_psnr(spec: SESRSpec, params: CollapsedParams,
+                               qp: QuantParams,
+                               images: Sequence[np.ndarray]) -> float:
+    """Mean PSNR (dB) of the corrected integer deployment output against
+    the FP32 forward over `images` — how much quality the quantization
+    itself costs (no ground truth needed). The guard metric for observer
+    choice."""
+    from sesr_tpu.models.sesr import forward_float
+    from sesr_tpu.quant.integer import integer_forward
+
+    tot = 0.0
+    for img in images:
+        x = jnp.asarray(img, jnp.float32)
+        y_f = np.asarray(forward_float(spec, params, x))
+        y_i = np.asarray(integer_forward(spec, qp, x, corrected=True)[0])
+        mse = float(np.mean((y_f - y_i) ** 2))
+        tot += -10.0 * float(np.log10(max(mse, 1e-12)))
+    return tot / max(len(images), 1)
+
+
 def calibrate(spec: SESRSpec, params: CollapsedParams,
               images: Sequence[np.ndarray],
               hw: HardwareConfig = DEFAULT_HW,
@@ -208,7 +237,8 @@ def calibrate(spec: SESRSpec, params: CollapsedParams,
               observer: str = "minmax",
               percentile: float = 0.9999,
               safe_zero_floor: bool = False,
-              qat_add_bounds=None) -> QuantParams:
+              qat_add_bounds=None,
+              guard: bool = True) -> QuantParams:
     """Run the calibration set through the fake-quant pipeline and finalize
     a complete QuantParams (test.py eval loop + :186-217 finalize).
 
@@ -220,6 +250,13 @@ def calibrate(spec: SESRSpec, params: CollapsedParams,
     qat_add_bounds: (union_lo, union_hi) to replicate the qatf="qat_"
     composition's frozen QuantAdd at the outer residual add (see
     quant/qat.py quant_add_frozen).
+
+    guard (default True): when a histogram observer is chosen, also
+    finalize the plain-minmax artifact and compare both through the
+    corrected integer path against FP32 on the calibration set; a > 1 dB
+    regression fires ObserverRegressionWarning (the CLI escalates it to an
+    error without --force). Costs ~3 extra forwards per image, only on the
+    non-default observers.
     """
     fq_weights, w_int, w_scale = _prep_fq_weights(params, hw)
     L = spec.num_convs
@@ -241,9 +278,11 @@ def calibrate(spec: SESRSpec, params: CollapsedParams,
         for d in range(L + 1):
             calib.update(d, mm[0, d], mm[1, d])
 
+    minmax_vals = None
     if observer != "minmax":
         from sesr_tpu.quant.observers import (
             BINS_NUM, percentile_bounds, kl_bounds)
+        minmax_vals = (list(calib.min_vals), list(calib.max_vals))
         bounds = jnp.asarray(
             np.stack([calib.min_vals, calib.max_vals], axis=1), jnp.float32)
         total = np.zeros((L + 1, BINS_NUM), np.int64)
@@ -260,7 +299,27 @@ def calibrate(spec: SESRSpec, params: CollapsedParams,
                 raise ValueError(f"unknown observer {observer!r}")
             calib.min_vals[d], calib.max_vals[d] = new_lo, new_hi
 
-    return finalize(spec, w_int, w_scale,
-                    [np.asarray(b) for b in params.biases], calib, hw,
-                    force_output_min_zero=force_output_min_zero,
-                    safe_zero_floor=safe_zero_floor)
+    qp = finalize(spec, w_int, w_scale,
+                  [np.asarray(b) for b in params.biases], calib, hw,
+                  force_output_min_zero=force_output_min_zero,
+                  safe_zero_floor=safe_zero_floor)
+    if guard and minmax_vals is not None and images:
+        qp_mm = finalize(spec, w_int, w_scale,
+                         [np.asarray(b) for b in params.biases],
+                         CalibState(*minmax_vals), hw,
+                         force_output_min_zero=force_output_min_zero,
+                         safe_zero_floor=safe_zero_floor)
+        p_obs = quantization_fidelity_psnr(spec, params, qp, images)
+        p_mm = quantization_fidelity_psnr(spec, params, qp_mm, images)
+        if p_obs < p_mm - 1.0:
+            import warnings
+            warnings.warn(
+                f"observer '{observer}' degrades the integer deployment "
+                f"path by {p_mm - p_obs:.2f} dB vs minmax on the "
+                f"calibration set ({p_obs:.2f} vs {p_mm:.2f} dB fidelity "
+                f"to FP32) — KL is known to clip sparse raw-domain ranges "
+                f"catastrophically (BASELINE.md observer ablation); use "
+                f"minmax/percentile for this task or pass guard=False "
+                f"(CLI: --force) to keep it", ObserverRegressionWarning,
+                stacklevel=2)
+    return qp

@@ -231,7 +231,17 @@ def certify_fast(spec: SESRSpec, qp: QuantParams,
 
     Empirical stamps are evidence on the calibration distribution, so the
     images should cover the deployment distribution; static stamps are
-    proofs and need no images at all.
+    proofs and need no images at all. SOUNDNESS of the zero-image case:
+    with `images=[]` every per-image obligation below is vacuous, so ONLY
+    the static proofs may stamp anything — a non-static layer gets NO
+    stamp, and fast_cert_ok additionally requires the int16 shortcut
+    store's static proof (shortcut_static). An all-static artifact may
+    therefore certify from zero images (that IS the "static" grade: the
+    math equality is proven by interval arithmetic; the lowerings' CODE
+    equality is pinned by the test suite on fixed artifacts) — but an
+    artifact with any empirical-only layer can never come back
+    fast_cert_ok from zero evidence (round-3 verdict item 3;
+    tests/test_certify.py::test_empty_image_set_cannot_stamp_empirical).
     """
     from sesr_tpu.ops.packed import CERTIFIED_CELLS
     from sesr_tpu.quant.integer import integer_forward, _pe_weight_masks
@@ -246,8 +256,9 @@ def certify_fast(spec: SESRSpec, qp: QuantParams,
                                  fast_cert_layers=tuple([True] * L),
                                  fast_cert_static=tuple(static))
     # static layers are proven; the rest start optimistic and are demoted
-    # by per-image evidence (counters / per-MAC strict divergence)
-    layer_ok = [True] * L
+    # by per-image evidence (counters / per-MAC strict divergence). With
+    # NO images there is no evidence at all: only static proofs stamp.
+    layer_ok = [True] * L if images else list(static)
     exact_outs = []
     shortcut_max = 0.0
     for img in images:
@@ -290,6 +301,11 @@ def certify_fast(spec: SESRSpec, qp: QuantParams,
             f"{shortcut_max:.1f} — interval bound bug")
 
     ok = all(layer_ok)
+    if ok and not images and not sc_static:
+        # zero-image run on an all-static artifact whose int16 shortcut
+        # store lacks a static proof: the empirical shortcut bound below
+        # would pass vacuously (shortcut_max == 0) — refuse the full stamp
+        ok = False
     if ok:
         # direct bound on the int16 narrow store of the residual shortcut
         # (ops/packed.py narrow_store) — a wrap there would corrupt the
@@ -321,13 +337,21 @@ def certify_fast(spec: SESRSpec, qp: QuantParams,
             # the STRIDED-entry variant (entry="auto" selects it for
             # s_h>1 cells on >=1.5 Mpx frames in deployment, which the
             # small calibration crops never trigger through "auto" —
-            # exercise it explicitly so the program serving large frames
-            # is inside the equality proof)
-            for img, y_e in zip(images, exact_outs):
-                y_s = packed_fast_forward(spec, qp_try, img, (2, 4),
-                                          entry="strided")
-                if not np.array_equal(y_e, np.asarray(y_s)):
-                    ok, layer_ok = False, [False] * L
+            # exercise it explicitly, on EVERY s_h>1 geometry the gate
+            # admits, so each large-frame strided program this artifact
+            # can serve is inside its own equality run (round-3 advisor:
+            # checking only (2,4) left 4x2/2x2/4x4 outside the
+            # per-artifact proof while cert_cells admitted them)
+            for cells in CERTIFIED_CELLS:
+                if cells[0] <= 1:
+                    continue    # W-only cells never select the strided entry
+                for img, y_e in zip(images, exact_outs):
+                    y_s = packed_fast_forward(spec, qp_try, img, cells,
+                                              entry="strided")
+                    if not np.array_equal(y_e, np.asarray(y_s)):
+                        ok, layer_ok = False, [False] * L
+                        break
+                if not ok:
                     break
     elif any(layer_ok):
         from sesr_tpu.ops.packed import packed_hybrid_forward

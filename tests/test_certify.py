@@ -219,6 +219,40 @@ def test_cert_grade_demoted_artifact_is_not_static():
     assert qp.cert_stamps == "?" * L                  # uncertified artifact
 
 
+@pytest.mark.parametrize("task", ["sr_x2", "nr"])
+def test_empty_image_set_cannot_stamp_empirical(task):
+    """Round-3 verdict item 3: certify_fast(spec, qp, []) must not come back
+    fully certified for an artifact with empirical-only layers — zero images
+    means zero evidence, so only the static interval proofs may stamp."""
+    from sesr_tpu.quant.certify import static_layer_stamps
+
+    spec, _images, qp = _fresh_qparams(task)
+    static = static_layer_stamps(qp)
+    assert not all(static), f"{task} should have empirical-only layers"
+    qp0 = certify_fast(spec, qp, [])
+    assert not qp0.fast_cert_ok
+    assert qp0.fast_cert_images == 0
+    # stamps must equal the static proofs exactly: nothing optimistic
+    assert qp0.fast_cert_layers == static
+    # and the fast path still refuses the artifact
+    with pytest.raises(ValueError, match="certified"):
+        integer_forward(spec, qp0, jnp.zeros((1, 16, 16, spec.in_channels)),
+                        corrected=True, compute="fast")
+
+
+def test_certify_cli_rejects_zero_images(tmp_path):
+    """`certify --n-images 0` on a non-static artifact must fail loudly
+    instead of emitting a refused (or unsound) artifact."""
+    from sesr_tpu.cli import main
+
+    spec, images, qp = _fresh_qparams("sr_x2")
+    p = str(tmp_path / "qp.npz")
+    qp.save(p)
+    with pytest.raises(SystemExit, match="zero images"):
+        main(["certify", "--task", "sr_x2", "--qparams", p,
+              "--n-images", "0"])
+
+
 def test_static_stamp_survives_serialization(tmp_path):
     spec, images, qp = _fresh_qparams("sr_x2")
     qp = certify_fast(spec, qp, images)

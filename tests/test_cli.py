@@ -131,6 +131,51 @@ def test_cli_train_preview(tmp_path, capsys):
     assert files == ["preview_000001.png", "preview_000002.png"], files
 
 
+def test_cli_train_warm_start_finetune(tmp_path, capsys):
+    """--init-checkpoint reproduces the reference's only training recipe —
+    the warm-start fine-tune from a float checkpoint (train.py:51-52):
+    steps from nrdm_3_raw_G.pth decrease MSE, and the collapsed fine-tuned
+    model still certifies for the fast deployment path."""
+    from sesr_tpu.config import spec_for_task
+    from sesr_tpu.data.datasets import SyntheticDataset
+    from sesr_tpu.models.sesr import CollapsedParams
+    from sesr_tpu.quant.calibrate import calibrate
+    from sesr_tpu.quant.certify import certify_fast
+
+    out = str(tmp_path / "collapsed.npz")
+    main(["train", "--task", "nrdm_3", "--steps", "3", "--n-images", "1",
+          "--init-checkpoint", "reference", "--out", out])
+    txt = capsys.readouterr().out
+    assert "warm start from" in txt
+    losses = [float(line.split("loss ")[1]) for line in txt.splitlines()
+              if line.startswith("step ")]
+    assert len(losses) >= 2 and losses[-1] < losses[0], losses
+    # collapse-after-finetune still certifies (the fine-tune must not
+    # silently push the artifact out of the fast-safe regime)
+    spec = spec_for_task("nrdm_3")
+    ck = np.load(out)
+    params = CollapsedParams(
+        [ck[f"w_{i}"] for i in range(spec.num_convs)],
+        [ck[f"b_{i}"] for i in range(spec.num_convs)])
+    images = [inp for inp, _ in SyntheticDataset("nrdm_3", n=2, hw=(64, 96))]
+    qp = certify_fast(spec, calibrate(spec, params, images,
+                                      safe_zero_floor=True), images)
+    assert qp.fast_cert_ok
+
+
+def test_cli_train_warm_start_rejects_collapsed(tmp_path):
+    """A collapsed checkpoint (no conv_squeeze keys) cannot warm-start the
+    expanded trainer — fail with a clear message, not a KeyError."""
+    import torch
+
+    p = str(tmp_path / "bad.pth")
+    torch.save({"conv_first.conv_expand.weight":
+                torch.zeros((16, 3, 5, 5))}, p)
+    with pytest.raises(SystemExit, match="UNCOLLAPSED"):
+        main(["train", "--task", "nrdm_3", "--steps", "1",
+              "--init-checkpoint", p])
+
+
 @needs_artifact
 def test_cli_profile(capsys):
     main(["profile", "--task", "sr_x2", "--qparams", QP_SR_X2,

@@ -150,8 +150,10 @@ def test_raw_bayer_dataset(tmp_path):
     raw, _ = _make_raw_tree(str(tmp_path))
     ds = RawBayerDataset(str(tmp_path))
     assert len(ds) == 1
-    inp, gt = ds[0]
+    inp, gt, var = ds[0]
     assert inp.shape == (1, 16, 24, 3)
+    # the L2 contract triple (SURVEY §1): noise off -> zero variance map
+    assert var.shape == inp.shape and not var.any()
     # the sparse expansion must place each Bayer site in its channel
     ref = expand_bayer_plane(raw.astype(np.float32) / 4095.0)
     np.testing.assert_allclose(inp[0], np.clip(ref, 0, 1).transpose(1, 2, 0),
@@ -161,10 +163,15 @@ def test_raw_bayer_dataset(tmp_path):
 def test_raw_bayer_dataset_noise_flag(tmp_path):
     _make_raw_tree(str(tmp_path))
     ds = RawBayerDataset(str(tmp_path), add_test_noise=True, seed=3)
-    inp, _ = ds[0]
-    clean, _ = RawBayerDataset(str(tmp_path))[0]
+    inp, _, var = ds[0]
+    clean = RawBayerDataset(str(tmp_path))[0][0]
     assert not np.array_equal(inp, clean)
     assert inp.min() >= 0.0 and inp.max() <= 1.0
+    # variance = shot*noisy + read from the noisy, unclamped tensor
+    # (self_dataset.py:285-288): input-shaped, positive on average (a
+    # negative unclamped noisy sample can locally dip below zero, exactly
+    # as the reference computes it)
+    assert var.shape == inp.shape and var.mean() > 0 and var.any()
 
 
 def test_train_bayer_dataset_variance(tmp_path):

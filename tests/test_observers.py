@@ -160,3 +160,35 @@ def test_dump_histograms(tmp_path):
     import os
     for f in files:
         assert os.path.exists(f) and os.path.getsize(f) > 0
+
+
+def test_kl_guardrail_fires_on_raw_domain():
+    """The round-3 ablation's foot-gun, now guarded (round-3 verdict item
+    8): KL on a raw-domain task silently clipped ~12 dB; calibrate must
+    fire ObserverRegressionWarning when the chosen observer loses >1 dB vs
+    minmax on the calibration set."""
+    from sesr_tpu.data.datasets import SyntheticDataset
+    from sesr_tpu.io.torch_import import load_reference_checkpoint
+    from sesr_tpu.quant.calibrate import ObserverRegressionWarning
+
+    spec = spec_for_task("nr")
+    params = load_reference_checkpoint("nr")
+    images = [inp for inp, _ in SyntheticDataset("nr", n=2, hw=(64, 96))]
+    with pytest.warns(ObserverRegressionWarning, match="degrades"):
+        calibrate(spec, params, images, observer="kl", safe_zero_floor=True)
+
+
+def test_cli_calibrate_kl_requires_force(tmp_path):
+    """`calibrate --observer kl` on a raw-domain task must abort without
+    --force and succeed (warning only) with it."""
+    import os
+    from sesr_tpu.cli import main
+
+    out = str(tmp_path / "qp_kl.npz")
+    argv = ["calibrate", "--task", "nr", "--out", out, "--observer", "kl",
+            "--n-images", "2", "--no-eval"]
+    with pytest.raises(SystemExit, match="--force"):
+        main(argv)
+    assert not os.path.exists(out)
+    main(argv + ["--force"])
+    assert os.path.exists(out)

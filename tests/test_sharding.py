@@ -505,7 +505,7 @@ def test_sharded_exact_packed_forward_bit_exact():
     from sesr_tpu.quant.integer import integer_forward
     from sesr_tpu.quant.params import QuantParams
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     path = os.path.join(os.path.dirname(__file__), os.pardir, "artifacts",
                         "qparams_nrdm_3.npz")
