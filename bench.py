@@ -141,18 +141,28 @@ def main():
     # 1080p); (2,4) is measured interleaved for the drift-fair record.
     import statistics
     x1 = inp()
-    samples, samples_24 = [], []
+    x8 = inp(8)
+    samples, samples_24, samples_b8 = [], [], []
     for _ in range(5):
         samples.append(measure(
             lambda c: _packed_fast_impl(spec, c, qp, (1, 8)), x1, spec))
         samples_24.append(measure(
             lambda c: _packed_fast_impl(spec, c, qp, (2, 4)), x1, spec))
+        # the batch-8 THROUGHPUT serving config (stream_frames
+        # frames_per_chip=8 / infer --batch 8), interleaved with the
+        # batch-1 latency headline — r3i measured it ABOVE the
+        # single-frame rate at (1,8)
+        samples_b8.append(measure(
+            lambda c: _packed_fast_impl(spec, c, qp, (1, 8)), x8, spec))
     mpxs = statistics.median(samples)
     log(f"bench: packed(1x8) deployment path: "
         f"{[round(s, 1) for s in samples]} -> median {mpxs:.1f} Mpx/s")
     log(f"bench: packed(2x4) (previous default, interleaved): "
         f"{[round(s, 1) for s in samples_24]} -> median "
         f"{statistics.median(samples_24):.1f} Mpx/s")
+    log(f"bench: packed(1x8) batch-8 throughput config: "
+        f"{[round(s, 1) for s in samples_b8]} -> median "
+        f"{statistics.median(samples_b8):.1f} Mpx/s/chip")
 
     if "--per-task" in sys.argv:
         # every task through its certificate-selected deployment lowering

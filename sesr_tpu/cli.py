@@ -285,16 +285,36 @@ def cmd_infer(args):
             f"(python -m sesr_tpu certify --out), or use a PE-exact "
             f"artifact")
     data = list(_dataset(args.task, args))
+    zero_L = float(qp.a_zero[spec.num_convs])
+    scale_L = float(qp.a_scale[spec.num_convs])
     tot_p = tot_s = n = 0
-    for inp, gt, *_ in data:
-        y = np.asarray(fwd(spec, qp, jnp.asarray(inp), s=s))
-        p, ss = evaluate_pair(args.task, y[0], gt[0], inp[0])
-        if args.save_dir:
-            os.makedirs(args.save_dir, exist_ok=True)
-            _save_png(y[0], os.path.join(args.save_dir, f"out_{n:04d}.png"))
-        tot_p, tot_s, n = tot_p + p, tot_s + ss, n + 1
-    print(f"{args.task} packed({args.cells}, {mode}) mean psnr: {tot_p/n:.4f}  "
-          f"ssim: {tot_s/n:.4f}  ({n} images)")
+    i = 0
+    while i < len(data):
+        # --batch B: per-chip frame batching, the THROUGHPUT serving mode
+        # (r3i/r4: batch-8 beats single-frame at the (1,8) default); equal
+        # shapes batch together, a shape change flushes early
+        batch = [data[i]]
+        while (len(batch) < args.batch and i + len(batch) < len(data)
+               and data[i + len(batch)][0].shape == batch[0][0].shape):
+            batch.append(data[i + len(batch)])
+        x = jnp.asarray(np.concatenate([b[0] for b in batch], axis=0))
+        y = np.asarray(fwd(spec, qp, x, s=s, out_dtype=args.out_dtype))
+        if args.out_dtype == "int8":
+            # the int8 output contract: the raw quantized image; the
+            # scoring/PNG consumer dequantizes with (zero_L, scale_L)
+            y = (y.astype(np.float32) - zero_L) * scale_L
+        for j, (inp, gt, *_) in enumerate(batch):
+            p, ss = evaluate_pair(args.task, y[j], gt[0], inp[0])
+            if args.save_dir:
+                os.makedirs(args.save_dir, exist_ok=True)
+                _save_png(y[j], os.path.join(args.save_dir,
+                                             f"out_{n:04d}.png"))
+            tot_p, tot_s, n = tot_p + p, tot_s + ss, n + 1
+        i += len(batch)
+    print(f"{args.task} packed({args.cells}, {mode}"
+          f"{', ' + args.out_dtype if args.out_dtype != 'f32' else ''}"
+          f"{f', batch {args.batch}' if args.batch > 1 else ''}) "
+          f"mean psnr: {tot_p/n:.4f}  ssim: {tot_s/n:.4f}  ({n} images)")
     if args.save_dir:
         print(f"outputs -> {args.save_dir}/")
 
@@ -364,15 +384,18 @@ def cmd_profile(args):
     from sesr_tpu.quant.params import QuantParams
 
     spec = spec_for_task(args.task)
-    s = tuple(int(v) for v in args.cells.split("x"))
     shape = jax.ShapeDtypeStruct((1, args.height, args.width,
                                   spec.in_channels), jnp.float32)
     if args.path in ("deployment", "interpreter") and not args.qparams:
         raise SystemExit(f"--path {args.path} requires --qparams "
                          "(e.g. artifacts/qparams_<task>.npz)")
     if args.path == "deployment":
+        from sesr_tpu.ops.packed import default_cells
         qp = QuantParams.load(args.qparams)
         mode, fwd = select_packed_forward(qp)
+        if args.cells is None:
+            args.cells = "x".join(map(str, default_cells(mode)))
+        s = tuple(int(v) for v in args.cells.split("x"))
         fn = lambda x: fwd(spec, qp, x, s=s)                # noqa: E731
         label = f"deployment ({mode}, cells {args.cells})"
     elif args.path == "interpreter":
@@ -484,8 +507,16 @@ def main(argv=None):
     p.add_argument("--qparams", required=True)
     p.add_argument("--cells", default=None,
                    help="packing cell size s_h x s_w (default: 1x8 for the "
-                        "certified fast lowering, 2x4 for hybrid/pe-exact "
+                        "certified fast/hybrid lowerings, 2x4 for pe-exact "
                         "— the measured winners, ops/packed.py)")
+    p.add_argument("--out-dtype", default="f32", choices=["f32", "int8"],
+                   help="int8 = the raw quantized image contract (skips "
+                        "the full-resolution f32 write; +12-29%% at "
+                        "1080p/4K); scoring dequantizes client-side")
+    p.add_argument("--batch", type=int, default=1,
+                   help="frames per dispatch — the throughput serving "
+                        "mode (batch 8 measured above single-frame rate "
+                        "at the (1,8) default); batch 1 = latency mode")
     p.add_argument("--save-dir", default=None,
                    help="write the model outputs as PNGs here")
     p.set_defaults(fn=cmd_infer)
@@ -510,7 +541,9 @@ def main(argv=None):
     p.add_argument("--qparams", default=None)
     p.add_argument("--path", default="deployment",
                    choices=["deployment", "interpreter", "float"])
-    p.add_argument("--cells", default="2x4")
+    p.add_argument("--cells", default=None,
+                   help="cell geometry (default: the lowering mode's "
+                        "measured winner, ops/packed.py default_cells)")
     p.add_argument("--height", type=int, default=540)
     p.add_argument("--width", type=int, default=960)
     p.set_defaults(fn=cmd_profile)

@@ -76,13 +76,57 @@ FAST_DEFAULT_CELLS: Tuple[int, int] = (1, 8)
 
 def default_cells(mode: str) -> Tuple[int, int]:
     """The measured default cell geometry per lowering mode — the ONE
-    policy point shared by the CLI, bench.py, and the multihost builder.
+    policy point shared by the CLI, bench.py, and every sharded/multihost
+    builder (parallel/tiling.py, parallel/multihost.py route through
+    resolve_cells below).
     fast AND hybrid: FAST_DEFAULT_CELLS — the hybrid medians also favor
     (1,8) in two independent interleaved sessions (r3i nr 899 vs 657;
     r3l nr 718 vs 618, nrdm_6 464 vs 451 — reps overlap, medians agree;
     the OC-concat lane-fill logic depends on cell COUNT, identical at 8).
     pe-exact keeps (2, 4): unmeasured at (1,8)."""
     return (2, 4) if mode == "pe-exact" else FAST_DEFAULT_CELLS
+
+
+def resolve_cells(mode: str, h_local: int, w_local: int,
+                  cert_cells=None, h_sharded: bool = False,
+                  w_sharded: bool = True,
+                  k_max: int = 5) -> Tuple[int, int]:
+    """Serving-geometry policy for CELL-ALIGNED execution (the sharded
+    paths, which cannot pad): the measured default for this lowering mode
+    when the local shard admits it, else the first certified geometry
+    that does. A geometry is admissible when (a) the local shard is
+    cell-aligned along both axes and (b) every packed kernel's tap range
+    stays within ONE cell along each SHARDED axis — the halo machinery
+    exchanges exactly one cell (ops/halo.py), and a cell of size 1 under a
+    k=5 kernel spans +-2 cells (this is why the (1,8) monolithic default
+    cannot serve an H-sharded 2D mesh and falls back to (2,4) there).
+    cert_cells: the artifact's stamped geometry set (qp.cert_cells) —
+    candidates outside it are skipped for the certificate-gated modes so
+    a sharded builder can never silently serve a geometry the artifact's
+    certification never executed. k_max: the largest kernel in the net
+    (5 for the whole SESR zoo)."""
+    gate = tuple(tuple(c) for c in cert_cells) if cert_cells \
+        else CERTIFIED_CELLS
+    cands = [default_cells(mode)]
+    cands += [c for c in CERTIFIED_CELLS if c not in cands]
+
+    def one_cell_halo(s: int) -> bool:
+        lo, hi = packed_tap_range(k_max, s)
+        return lo >= -1 and hi <= 1
+
+    for sh, sw in cands:
+        if mode != "pe-exact" and (sh, sw) not in gate:
+            continue
+        if h_local % sh or w_local % sw:
+            continue
+        if (h_sharded and not one_cell_halo(sh)) or \
+                (w_sharded and not one_cell_halo(sw)):
+            continue
+        return (sh, sw)
+    raise ValueError(
+        f"no certified cell geometry fits the local shard "
+        f"{h_local}x{w_local} (candidates {cands}, certified {gate}, "
+        f"h_sharded={h_sharded}, w_sharded={w_sharded})")
 
 
 def _s2(s: SLike) -> Tuple[int, int]:
@@ -493,9 +537,10 @@ def packed_fast_forward(spec: SESRSpec, qp: QuantParams, x,
                              out_dtype, entry)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7))
 def _packed_exact_impl(spec: SESRSpec, x, qp_static, s: SLike,
-                       corrected: bool, fast_layers=None, halo_axis=None):
+                       corrected: bool, fast_layers=None, halo_axis=None,
+                       out_dtype: str = "f32"):
     """PE-EXACT packed forward: the full ASIC datapath — per-PE channel
     round-robin split, zero restoration, 18-bit per-PE saturation, 20-bit
     adder, unfloored-zero fused bias (quan_func.py:298-491) — with every
@@ -618,28 +663,38 @@ def _packed_exact_impl(spec: SESRSpec, x, qp_static, s: SLike,
             h = jax.nn.relu(h)
 
     r = spec.scaling_factor if spec.has_pixel_shuffle else 1
+    if out_dtype == "int8":
+        # same output contract as the fast lowering: the raw quantized
+        # image (dequantize with (qp.a_zero[L], qp.a_scale[L])); the final
+        # relayout moves 4x fewer bytes and the full-resolution f32 HBM
+        # write disappears
+        out_q = extras["out_int8"].astype(jnp.int8)
+        return packed_to_image_nhwc(out_q, (sh, sw), r)[:, :H * r, :W * r, :]
     return packed_to_image_nhwc(h, (sh, sw), r)[:, :H * r, :W * r, :]
 
 
 def packed_exact_forward(spec: SESRSpec, qp: QuantParams, x,
                          s: SLike = (2, 4), corrected: bool = False,
-                         halo_axis=None):
+                         halo_axis=None, out_dtype: str = "f32"):
     """PE-exact integer forward on the packed channel axis.
 
     Bit-identical to integer_forward(spec, qp, x, corrected=corrected)
     (the reference-exact ASIC sim when corrected=False) at channel-packed
     MXU speed; needs no fast-mode certificate. x: NHWC float in [0, 1].
     ``halo_axis``: mesh axis name for W-sharded execution inside shard_map.
+    ``out_dtype``: "f32" (dequantized, the scoring contract) or "int8"
+    (the raw quantized image — same contract as packed_fast_forward's).
     """
     from sesr_tpu.quant.integer import _hashable
 
     x = jnp.asarray(x, jnp.float32)
     return _packed_exact_impl(spec, x, _hashable(qp), _s2(s), corrected,
-                              None, halo_axis)
+                              None, halo_axis, out_dtype)
 
 
 def packed_hybrid_forward(spec: SESRSpec, qp: QuantParams, x,
-                          s: SLike = (2, 4), halo_axis=None):
+                          s: SLike = FAST_DEFAULT_CELLS, halo_axis=None,
+                          out_dtype: str = "f32"):
     """LAYER-HYBRID packed deployment forward: the deployment path for
     tasks the fast mode must refuse because they genuinely saturate.
 
@@ -652,7 +707,8 @@ def packed_hybrid_forward(spec: SESRSpec, qp: QuantParams, x,
     calibration image by quant/certify.py, which stamps
     qp.fast_cert_layers. Requires a stamped artifact; with all layers
     stamped safe prefer packed_fast_forward (narrow int8 boundaries make
-    it faster still). x: NHWC float in [0, 1].
+    it faster still). x: NHWC float in [0, 1]. ``out_dtype``: "f32" or
+    "int8" (the raw quantized image, packed_fast_forward's contract).
     """
     from sesr_tpu.quant.integer import _hashable
 
@@ -664,27 +720,29 @@ def packed_hybrid_forward(spec: SESRSpec, qp: QuantParams, x,
             "freedom is proven.")
     x = jnp.asarray(x, jnp.float32)
     return _packed_exact_impl(spec, x, _hashable(qp), _s2(s), True,
-                              tuple(qp.fast_cert_layers), halo_axis)
+                              tuple(qp.fast_cert_layers), halo_axis,
+                              out_dtype)
 
 
 def select_packed_forward(qp: QuantParams):
     """(mode, fn): the fastest certificate-SOUND packed lowering for this
     artifact — "fast" when fully certified, "hybrid" when saturation is
     confined to stamped-unsafe layers, "pe-exact" otherwise (always sound,
-    never refuses). All three fns accept fn(spec, qp, x, s=..., halo_axis=
-    None) but their s DEFAULTS are mode-dependent (fast:
-    FAST_DEFAULT_CELLS; hybrid/pe-exact: (2, 4)) — callers that must run
-    one geometry across modes should pass s explicitly, via
-    default_cells(mode). Single decision point for the CLI, the multihost
-    builder, and anything else that serves arbitrary artifacts."""
+    never refuses). All three fns share the signature
+    fn(spec, qp, x, s=..., halo_axis=None, out_dtype="f32") with their s
+    DEFAULT = default_cells(mode) (fast/hybrid: FAST_DEFAULT_CELLS;
+    pe-exact: (2, 4)); sharded callers that need cell-aligned shards
+    should pick s via resolve_cells. Single decision point for the CLI,
+    the sharded/multihost builders, and anything else that serves
+    arbitrary artifacts."""
     if getattr(qp, "fast_cert_ok", False):
         return "fast", packed_fast_forward
     layers = getattr(qp, "fast_cert_layers", None)
     if layers is not None and any(layers):
         return "hybrid", packed_hybrid_forward
 
-    def exact(spec, qp, x, s=(2, 4), halo_axis=None):
+    def exact(spec, qp, x, s=(2, 4), halo_axis=None, out_dtype="f32"):
         return packed_exact_forward(spec, qp, x, s, corrected=True,
-                                    halo_axis=halo_axis)
+                                    halo_axis=halo_axis, out_dtype=out_dtype)
 
     return "pe-exact", exact

@@ -86,18 +86,23 @@ def multihost_integer_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
 
 
 def multihost_packed_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
-                             s=(2, 4)):
+                             s=None, out_dtype="f32"):
     """The DEPLOYMENT (channel-packed) datapath at pod scale: frames over
     (host, dp), W over sp with one-cell ICI halos. Picks the fastest sound
     lowering the artifact's certificate allows — fast when fully
     certified, layer-hybrid when saturation is confined to stamped layers,
-    PE-exact otherwise (always sound, never refuses)."""
-    from sesr_tpu.ops.packed import select_packed_forward
+    PE-exact otherwise (always sound, never refuses). s=None resolves the
+    measured default_cells geometry against the local shard shape
+    (ops/packed.py resolve_cells; certified fallback when it doesn't
+    divide); out_dtype="int8" serves the raw quantized image."""
+    from sesr_tpu.ops.packed import resolve_cells, select_packed_forward
 
-    _mode, fwd = select_packed_forward(qp)
+    mode, fwd = select_packed_forward(qp)
 
     def local_fn(x):
-        return fwd(spec, qp, x, s=s, halo_axis="sp")
+        s_eff = s if s is not None else resolve_cells(
+            mode, x.shape[1], x.shape[2], getattr(qp, "cert_cells", None))
+        return fwd(spec, qp, x, s=s_eff, halo_axis="sp", out_dtype=out_dtype)
 
     inner = shard_map(
         local_fn, mesh=mesh,
@@ -125,18 +130,24 @@ def make_mesh_multihost_2d(n_hosts: Optional[int] = None, dp: int = 1,
 
 
 def multihost_packed_forward_2d(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
-                                s=(2, 4)):
+                                s=None, out_dtype="f32"):
     """The deployment datapath at pod scale on the 2D spatial mesh: frames
     over (host, dp), H over sph, W over spw; per-layer one-cell packed
     halos ride ICI only (both axes live within a host), the host axis
-    stays collective-free. Certificate-selected lowering, cell-aligned
-    local shards required."""
-    from sesr_tpu.ops.packed import select_packed_forward
+    stays collective-free. Certificate-selected lowering; cell-aligned
+    local shards required (s=None resolves the measured default with
+    certified fallback, resolve_cells); out_dtype="int8" serves the raw
+    quantized image."""
+    from sesr_tpu.ops.packed import resolve_cells, select_packed_forward
 
-    _mode, fwd = select_packed_forward(qp)
+    mode, fwd = select_packed_forward(qp)
 
     def local_fn(x):
-        return fwd(spec, qp, x, s=s, halo_axis=("sph", "spw"))
+        s_eff = s if s is not None else resolve_cells(
+            mode, x.shape[1], x.shape[2], getattr(qp, "cert_cells", None),
+            h_sharded=True)
+        return fwd(spec, qp, x, s=s_eff, halo_axis=("sph", "spw"),
+                   out_dtype=out_dtype)
 
     inner = shard_map(
         local_fn, mesh=mesh,
@@ -165,18 +176,21 @@ def multihost_tail_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
     W % (dp*sp) == 0 (cell-aligned per shard in deployment mode)."""
     w_axes = ("dp", "sp")
     if lowering == "deployment":
-        from sesr_tpu.ops.packed import select_packed_forward
-        _mode, pf = select_packed_forward(qp)
-        # pin the geometry: the lowerings' own s defaults are
-        # mode-dependent (FAST_DEFAULT_CELLS vs (2,4)) while the batch
-        # path multihost_packed_forward defaults to (2,4) — an implicit s
-        # here would give the tail a DIFFERENT geometry (and (1,8) needs
-        # W_local % 8, which the stream guard doesn't check for)
+        from sesr_tpu.ops.packed import resolve_cells, select_packed_forward
+        mode, pf = select_packed_forward(qp)
         fwd_kwargs = dict(fwd_kwargs)
-        fwd_kwargs.setdefault("s", (2, 4))
+        s = fwd_kwargs.pop("s", None)
 
         def local_fn(x):
-            return pf(spec, qp, x, halo_axis=(None, w_axes), **fwd_kwargs)
+            # the tail's W shard is dp*sp-fine, so the measured default
+            # geometry may not divide it — resolve against the ACTUAL
+            # local shape (static at shard_map trace time), falling back
+            # through the certified set instead of hard-pinning (2,4)
+            s_eff = s if s is not None else resolve_cells(
+                mode, x.shape[1], x.shape[2],
+                getattr(qp, "cert_cells", None))
+            return pf(spec, qp, x, s=s_eff, halo_axis=(None, w_axes),
+                      **fwd_kwargs)
     else:
         def local_fn(x):
             y, _ = integer_forward(spec, qp, x, halo_axis=(None, w_axes),
@@ -192,33 +206,43 @@ def multihost_tail_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
 
 
 def stream_frames(spec: SESRSpec, qp: QuantParams, mesh: Mesh, frames,
-                  lowering: str = "interpreter", **fwd_kwargs):
+                  lowering: str = "interpreter", frames_per_chip: int = 1,
+                  **fwd_kwargs):
     """Continuous frame batching: group the frame iterator into global
-    batches of host*dp frames and run them through the multihost forward.
-    Yields output batches. On a real pod each process only materializes its
-    local shard (jax.make_array_from_process_local_data under the hood via
-    device_put to the global sharding); single-process, device_put shards
-    the full array.
+    batches of host*dp*frames_per_chip frames and run them through the
+    multihost forward. Yields output batches. On a real pod each process
+    only materializes its local shard (device_put to the global sharding);
+    single-process, device_put shards the full array.
 
     lowering: "interpreter" (the bit-exact reference-semantics path,
     default — also accepts integer_forward kwargs like corrected=True) or
     "deployment" (the channel-packed MXU datapath via
     multihost_packed_forward, certificate-selected fast/hybrid/PE-exact;
-    fwd_kwargs then takes `s=` cells only). Requires cell-aligned local W
-    shards in deployment mode.
+    fwd_kwargs then takes `s=` cells and `out_dtype=`). Requires
+    cell-aligned local W shards in deployment mode; with no explicit s
+    the measured default geometry is resolved per shard (resolve_cells,
+    certified fallback when it doesn't divide — no hard-pinned (2,4)).
 
-    The final PARTIAL batch does NOT recompute padded frames: it runs
-    through multihost_tail_forward (batch over hosts only, W over the
-    combined (dp, sp) axes), padding at most host-1 frames instead of
-    host*dp-1. When the frame width cannot shard that finely (W not
-    divisible by dp*sp*cells), it falls back to the padded full batch."""
+    frames_per_chip > 1 is the THROUGHPUT serving mode: each chip batches
+    that many frames per dispatch (r3i/r4 measured batch-8 ABOVE the
+    single-frame rate at the (1,8) default — see BASELINE.md); batch 1
+    stays the latency config.
+
+    The final PARTIAL batch does NOT recompute padded frames: at
+    frames_per_chip == 1 it runs through multihost_tail_forward (batch
+    over hosts only, W over the combined (dp, sp) axes), padding at most
+    host-1 frames instead of host*dp-1. When the frame cannot shard that
+    finely (no certified cell geometry divides W/(dp*sp)), or in the
+    batched mode (whose tail is at most one extra dispatch), it falls
+    back to the padded full batch."""
     if lowering == "deployment":
         fwd = multihost_packed_forward(spec, qp, mesh, **fwd_kwargs)
     else:
         fwd = multihost_integer_forward(spec, qp, mesh, **fwd_kwargs)
     sh = frame_batch_sharding(mesh)
     n_host, dp, sp = (mesh.shape["host"], mesh.shape["dp"], mesh.shape["sp"])
-    n = n_host * dp
+    assert frames_per_chip >= 1
+    n = n_host * dp * frames_per_chip
     buf = []
     for f in frames:
         buf.append(np.asarray(f, np.float32))
@@ -228,12 +252,23 @@ def stream_frames(spec: SESRSpec, qp: QuantParams, mesh: Mesh, frames,
             buf = []
     if buf:
         k = len(buf)
-        W = buf[0].shape[2]
-        s_w = 1
-        if lowering == "deployment":
-            s = fwd_kwargs.get("s", (2, 4))
-            s_w = s if isinstance(s, int) else s[1]
-        if W % (dp * sp * s_w) == 0 and dp > 1:
+        H, W = buf[0].shape[1], buf[0].shape[2]
+        tail_ok = dp > 1 and frames_per_chip == 1 and W % (dp * sp) == 0
+        if tail_ok and lowering == "deployment":
+            from sesr_tpu.ops.packed import (resolve_cells,
+                                             select_packed_forward)
+            s = fwd_kwargs.get("s")
+            if s is not None:
+                s_h, s_w = (s, s) if isinstance(s, int) else s
+                tail_ok = W % (dp * sp * s_w) == 0 and H % s_h == 0
+            else:
+                mode, _ = select_packed_forward(qp)
+                try:
+                    resolve_cells(mode, H, W // (dp * sp),
+                                  getattr(qp, "cert_cells", None))
+                except ValueError:
+                    tail_ok = False
+        if tail_ok:
             tail_n = -(-k // n_host) * n_host
             while len(buf) < tail_n:
                 buf.append(np.zeros_like(buf[-1]))

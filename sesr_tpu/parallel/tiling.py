@@ -101,31 +101,46 @@ def _shard_dp_sp(mesh: Mesh, local_fn):
     return jax.jit(inner)
 
 
-def _packed_local_fn(spec: SESRSpec, qp: QuantParams, s, fwd):
+def _packed_local_fn(spec: SESRSpec, qp: QuantParams, s, fwd, mode: str,
+                     out_dtype: str = "f32", halo_axis="sp"):
+    """local_fn for the packed sharded builders. s=None resolves the
+    geometry per-shard via ops/packed.py resolve_cells — the measured
+    default_cells(mode) when the local shard is cell-aligned, else the
+    first certified geometry that divides it (the x shape is concrete at
+    shard_map trace time, so the choice is static)."""
+    from sesr_tpu.ops.packed import resolve_cells
+
+    h_sharded = isinstance(halo_axis, tuple) and halo_axis[0] is not None
+
     def local_fn(x):
-        return fwd(spec, qp, x, s=s, halo_axis="sp")
+        s_eff = s if s is not None else resolve_cells(
+            mode, x.shape[1], x.shape[2], getattr(qp, "cert_cells", None),
+            h_sharded=h_sharded)
+        return fwd(spec, qp, x, s=s_eff, halo_axis=halo_axis,
+                   out_dtype=out_dtype)
     return local_fn
 
 
 def sharded_deployment_forward_2d(spec: SESRSpec, qp: QuantParams,
-                                  mesh: Mesh, s=(2, 4)):
+                                  mesh: Mesh, s=None, out_dtype="f32"):
     """The channel-packed deployment datapath on the 2D spatial mesh
     (dp=batch, sph=H, spw=W) — the pod-scale layout for large frames,
     mirroring the reference's own 2D tile walk (output.py:42-65). Each
     layer's packed conv exchanges a ONE-cell halo along BOTH spatial axes
     (corners via the two-hop H-then-W exchange, ops/halo.py). Requires
     cell-aligned local shards (H_local % s_h == W_local % s_w == 0);
-    lowering picked by the artifact's certificate; bit-identical to the
-    monolithic path (tests/test_sharding.py)."""
+    s=None picks the measured default for the certificate-selected
+    lowering, falling back to the first certified geometry that divides
+    the shard (resolve_cells); out_dtype="int8" serves the raw quantized
+    image; bit-identical to the monolithic path (tests/test_sharding.py).
+    """
     from sesr_tpu.ops.packed import select_packed_forward
 
-    _mode, fwd = select_packed_forward(qp)
-
-    def local_fn(x):
-        return fwd(spec, qp, x, s=s, halo_axis=("sph", "spw"))
-
+    mode, fwd = select_packed_forward(qp)
     inner = shard_map(
-        local_fn, mesh=mesh,
+        _packed_local_fn(spec, qp, s, fwd, mode, out_dtype,
+                         halo_axis=("sph", "spw")),
+        mesh=mesh,
         in_specs=P("dp", "sph", "spw", None),
         out_specs=P("dp", "sph", "spw", None),
     )
@@ -133,39 +148,44 @@ def sharded_deployment_forward_2d(spec: SESRSpec, qp: QuantParams,
 
 
 def sharded_deployment_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
-                               s=(2, 4)):
+                               s=None, out_dtype="f32"):
     """The channel-packed deployment datapath sharded (dp=batch, sp=W),
     through whatever lowering the artifact's certificate allows (fast /
     layer-hybrid / PE-exact — ops/packed.py select_packed_forward), with
     each layer's packed conv exchanging a ONE-cell W halo over ICI (vs
     k//2 pixels unpacked — packing also shrinks the collective payload).
-    Requires W_local % s_w == 0 per shard; bit-identical to the monolithic
-    path (tests/test_sharding.py)."""
+    Requires cell-aligned shards; s=None resolves via resolve_cells (the
+    measured default when it divides, certified fallback otherwise);
+    out_dtype="int8" serves the raw quantized image; bit-identical to the
+    monolithic path (tests/test_sharding.py)."""
     from sesr_tpu.ops.packed import select_packed_forward
 
-    _mode, fwd = select_packed_forward(qp)
-    return _shard_dp_sp(mesh, _packed_local_fn(spec, qp, s, fwd))
+    mode, fwd = select_packed_forward(qp)
+    return _shard_dp_sp(mesh, _packed_local_fn(spec, qp, s, fwd, mode,
+                                               out_dtype))
 
 
 def sharded_packed_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
-                           s=(2, 4)):
+                           s=None, out_dtype="f32"):
     """sharded_deployment_forward pinned to the FAST lowering (refuses
     uncertified artifacts, like packed_fast_forward)."""
     from sesr_tpu.ops.packed import packed_fast_forward
 
-    return _shard_dp_sp(mesh,
-                        _packed_local_fn(spec, qp, s, packed_fast_forward))
+    return _shard_dp_sp(mesh, _packed_local_fn(spec, qp, s,
+                                               packed_fast_forward, "fast",
+                                               out_dtype))
 
 
 def sharded_hybrid_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
-                           s=(2, 4)):
+                           s=None, out_dtype="f32"):
     """sharded_deployment_forward pinned to the LAYER-HYBRID lowering (the
     saturating tasks nr/nrdm_6: PE-exact on the certificate's unsafe
     layers, fast elsewhere; requires per-layer stamps)."""
     from sesr_tpu.ops.packed import packed_hybrid_forward
 
-    return _shard_dp_sp(mesh,
-                        _packed_local_fn(spec, qp, s, packed_hybrid_forward))
+    return _shard_dp_sp(mesh, _packed_local_fn(spec, qp, s,
+                                               packed_hybrid_forward,
+                                               "hybrid", out_dtype))
 
 
 def sharded_integer_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh):

@@ -302,3 +302,60 @@ def test_packed_fast_int8_output_contract():
     deq = (y_i8.astype(np.float32) - np.float32(qp.a_zero[L])) \
         * np.float32(qp.a_scale[L])
     np.testing.assert_array_equal(deq, y_f32)
+
+
+def test_resolve_cells_policy():
+    """resolve_cells: the measured default when the shard admits it, the
+    first certified geometry otherwise, one-cell-halo constraint on
+    sharded axes, cert_cells gate, explicit error when nothing fits."""
+    from sesr_tpu.ops.packed import resolve_cells, FAST_DEFAULT_CELLS
+
+    assert resolve_cells("fast", 24, 16) == FAST_DEFAULT_CELLS
+    assert resolve_cells("hybrid", 24, 16) == FAST_DEFAULT_CELLS
+    # W shard not divisible by 8: certified fallback (2,4)
+    assert resolve_cells("fast", 24, 12) == (2, 4)
+    # H-sharded (2D mesh): s_h=1 cells span +-2 cells under k=5 — beyond
+    # the one-cell halo machinery, so the default is skipped
+    assert resolve_cells("fast", 24, 16, h_sharded=True) == (2, 4)
+    # pe-exact keeps its measured default
+    assert resolve_cells("pe-exact", 24, 16) == (2, 4)
+    # an artifact stamped only for (2,4) must never serve (1,8)
+    assert resolve_cells("fast", 24, 16, cert_cells=((2, 4),)) == (2, 4)
+    with pytest.raises(ValueError, match="no certified"):
+        resolve_cells("fast", 23, 13)
+
+
+@pytest.mark.parametrize("task", ["sr_x2", "nr"])
+def test_packed_exact_and_hybrid_int8_output_contract(task):
+    """The int8 output contract on the PE-exact and layer-hybrid lowerings
+    (round-3 verdict: it was fast-only): the raw quantized image must
+    dequantize exactly to the f32 contract's output."""
+    import os
+    from sesr_tpu.ops.packed import (packed_exact_forward,
+                                     packed_hybrid_forward,
+                                     select_packed_forward)
+    from sesr_tpu.quant.params import QuantParams
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "artifacts",
+                        f"qparams_{task}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"qparams_{task}.npz missing")
+    spec = spec_for_task(task)
+    qp = QuantParams.load(path)
+    rng = np.random.default_rng(53)
+    x = rng.random((1, 24, 48, spec.in_channels), dtype=np.float32)
+    L = spec.num_convs
+    zero_L, scale_L = float(qp.a_zero[L]), float(qp.a_scale[L])
+
+    fwds = [lambda **kw: packed_exact_forward(spec, qp, x, corrected=True,
+                                              **kw)]
+    if qp.fast_cert_layers is not None and any(qp.fast_cert_layers):
+        fwds.append(lambda **kw: packed_hybrid_forward(spec, qp, x, **kw))
+    mode, sel = select_packed_forward(qp)
+    fwds.append(lambda **kw: sel(spec, qp, x, **kw))
+    for fwd in fwds:
+        y_f = np.asarray(fwd())
+        y_8 = np.asarray(fwd(out_dtype="int8"))
+        assert y_8.dtype == np.int8
+        np.testing.assert_array_equal(
+            (y_8.astype(np.float32) - zero_L) * scale_L, y_f)

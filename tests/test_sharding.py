@@ -643,3 +643,91 @@ def test_multihost_stream_frames_deployment_lowering():
     y_mono = packed_fast_forward(spec, qp,
                                  jnp.asarray(np.concatenate(frames, axis=0)))
     np.testing.assert_array_equal(y_all, np.asarray(y_mono))
+
+
+def test_sharded_deployment_int8_out():
+    """The int8 output contract through the SHARDED deployment builder
+    (round-3 verdict item 2): int8-out sharded == int8-out monolithic,
+    and dequantizes exactly to the f32 sharded output."""
+    import os
+    from sesr_tpu.ops.packed import packed_fast_forward
+    from sesr_tpu.parallel.tiling import sharded_deployment_forward
+    from sesr_tpu.quant.params import QuantParams
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "artifacts",
+                        "qparams_sr_x2.npz")
+    if not os.path.exists(path):
+        pytest.skip("qparams_sr_x2.npz missing")
+    spec = spec_for_task("sr_x2")
+    qp = QuantParams.load(path)
+    mesh = make_mesh(8, dp=2, sp=4)
+    rng = np.random.default_rng(59)
+    # W=96 -> 24/shard: divisible by 8, so the resolver serves the (1,8)
+    # default on the sharded path too
+    x = rng.random((2, 24, 96, 3), dtype=np.float32)
+    y8_mono = np.asarray(packed_fast_forward(spec, qp, jnp.asarray(x),
+                                             out_dtype="int8"))
+    f8 = sharded_deployment_forward(spec, qp, mesh, out_dtype="int8")
+    y8 = np.asarray(f8(jnp.asarray(x)))
+    assert y8.dtype == np.int8
+    np.testing.assert_array_equal(y8, y8_mono)
+    L = spec.num_convs
+    y_f = np.asarray(sharded_deployment_forward(spec, qp, mesh)(
+        jnp.asarray(x)))
+    np.testing.assert_array_equal(
+        (y8.astype(np.float32) - float(qp.a_zero[L])) * float(qp.a_scale[L]),
+        y_f)
+
+
+def test_sharded_deployment_default_is_measured_winner():
+    """With no explicit s, an aligned W shard serves FAST_DEFAULT_CELLS —
+    verified by program identity: the default-built sharded forward equals
+    the explicitly-(1,8) one on data where a (2,4) program would also be
+    bit-exact, so instead compare COMPILED text."""
+    import os
+    from sesr_tpu.parallel.tiling import sharded_deployment_forward
+    from sesr_tpu.quant.params import QuantParams
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "artifacts",
+                        "qparams_sr_x2.npz")
+    if not os.path.exists(path):
+        pytest.skip("qparams_sr_x2.npz missing")
+    spec = spec_for_task("sr_x2")
+    qp = QuantParams.load(path)
+    mesh = make_mesh(8, dp=2, sp=4)
+    x = jnp.zeros((2, 24, 96, 3), jnp.float32)
+    got = jax.jit(sharded_deployment_forward(spec, qp, mesh)).lower(x)
+    want = jax.jit(sharded_deployment_forward(spec, qp, mesh, s=(1, 8))
+                   ).lower(x)
+    assert got.as_text() == want.as_text()
+    other = jax.jit(sharded_deployment_forward(spec, qp, mesh, s=(2, 4))
+                    ).lower(x)
+    assert got.as_text() != other.as_text()
+
+
+def test_multihost_stream_frames_per_chip_batching():
+    """frames_per_chip > 1 — the THROUGHPUT serving mode (round-3 verdict
+    item 5): each chip batches that many frames per dispatch; outputs stay
+    bit-exact vs the monolithic packed path, partial tail included."""
+    import os
+    from sesr_tpu.ops.packed import packed_fast_forward
+    from sesr_tpu.parallel.multihost import make_mesh_multihost, stream_frames
+    from sesr_tpu.quant.params import QuantParams
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "artifacts",
+                        "qparams_sr_x2.npz")
+    if not os.path.exists(path):
+        pytest.skip("qparams_sr_x2.npz missing")
+    spec = spec_for_task("sr_x2")
+    qp = QuantParams.load(path)
+    mesh = make_mesh_multihost(n_hosts=2, dp=2, sp=2)
+    rng = np.random.default_rng(61)
+    frames = [rng.random((1, 16, 32, 3), dtype=np.float32)
+              for _ in range(9)]                       # 8 + tail 1
+    outs = list(stream_frames(spec, qp, mesh, frames, lowering="deployment",
+                              frames_per_chip=2))
+    assert [o.shape[0] for o in outs] == [8, 1]
+    y_all = np.concatenate([np.asarray(o) for o in outs], axis=0)
+    y_mono = packed_fast_forward(spec, qp,
+                                 jnp.asarray(np.concatenate(frames, axis=0)))
+    np.testing.assert_array_equal(y_all, np.asarray(y_mono))
