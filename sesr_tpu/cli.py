@@ -80,7 +80,8 @@ def cmd_calibrate(args):
     import warnings
     import jax.numpy as jnp
     from sesr_tpu.config import spec_for_task
-    from sesr_tpu.quant.calibrate import (calibrate, fake_quant_forward,
+    from sesr_tpu.quant.calibrate import (guarded_calibrate,
+                                          fake_quant_forward,
                                           ObserverRegressionWarning)
     from sesr_tpu.metrics import evaluate_pair
 
@@ -88,12 +89,12 @@ def cmd_calibrate(args):
     params = _load_params(args.task, args)
     data = list(_dataset(args.task, args))
     # observer guardrail (round-3 ablation: KL silently loses ~12 dB on the
-    # raw-domain tasks): a >1 dB regression vs minmax is an error unless
-    # --force acknowledges it
+    # raw-domain tasks): a >1 dB ground-truth-PSNR regression vs minmax is
+    # an error unless --force acknowledges it
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always", ObserverRegressionWarning)
-        qp = calibrate(spec, params, [d[0] for d in data],
-                       observer=args.observer)
+        qp = guarded_calibrate(spec, params, data, args.task,
+                               observer=args.observer)
     for w in caught:
         if issubclass(w.category, ObserverRegressionWarning):
             if args.force:

@@ -537,10 +537,10 @@ def packed_fast_forward(spec: SESRSpec, qp: QuantParams, x,
                              out_dtype, entry)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7, 8))
 def _packed_exact_impl(spec: SESRSpec, x, qp_static, s: SLike,
                        corrected: bool, fast_layers=None, halo_axis=None,
-                       out_dtype: str = "f32"):
+                       out_dtype: str = "f32", narrow_store: bool = False):
     """PE-EXACT packed forward: the full ASIC datapath — per-PE channel
     round-robin split, zero restoration, 18-bit per-PE saturation, 20-bit
     adder, unfloored-zero fused bias (quan_func.py:298-491) — with every
@@ -561,6 +561,16 @@ def _packed_exact_impl(spec: SESRSpec, x, qp_static, s: SLike,
     layer is certified 18-bit-saturation-free at its actual inputs
     (quant/certify.py stamps qp.fast_cert_layers; the 20-bit adder clamp is
     applied identically either way, so 20-bit events don't disqualify).
+
+    narrow_store (corrected mode only): materialize the inter-layer
+    boundaries as int8 (x_q IS integral in [-2^7, 2^7-1] by construction —
+    exact for EVERY layer, stamped or not) and the residual shortcut as
+    int16 round(shortcut). The int8 stores need no certificate; the int16
+    shortcut store is only requested by callers holding the static
+    wrap-free proof (qp.shortcut_static; quant/certify.py
+    static_shortcut_bound hulls both lowering forms) — the fast path's
+    measured HBM win (round-2) extended to the hybrid lowering
+    (round-3 verdict item 4).
     """
     from sesr_tpu.quant.integer import (_pe_weight_masks, _quantize_domain_in,
                                         _requant_out)
@@ -622,9 +632,17 @@ def _packed_exact_impl(spec: SESRSpec, x, qp_static, s: SLike,
         layer_consts.append((pe, is_fast, (qy_lo, qx_lo), (qy_hi, qx_hi),
                              jnp.asarray(np.tile(fused, cells), jnp.int32)))
 
+    assert not (narrow_store and not corrected), \
+        "narrow stores are a corrected-datapath feature"
     shortcut = None
     for i in range(L):
         x_q, x_shift = _quantize_domain_in(h, i, L, qp, shortcut, corrected)
+        if narrow_store:
+            # int8 layer boundary (exact: x_q is clip(round(.)) into the
+            # int8 range); the tensor XLA materializes between the conv
+            # fusions shrinks 4x — same store as _packed_fast_impl's
+            x_q = x_q.astype(jnp.int8).astype(jnp.float32)
+            x_shift = x_q - jnp.float32(qp.effective_zero(i))
         if mask is not None:
             cpl = x_shift.shape[-1] // cells
             x_shift = x_shift * jnp.repeat(mask, cpl, axis=-1)[None]
@@ -659,6 +677,14 @@ def _packed_exact_impl(spec: SESRSpec, x, qp_static, s: SLike,
         h, extras = _requant_out(y, i, L, qp)
         if i == 0:
             shortcut = extras["shortcut"]
+            if narrow_store:
+                # the residual add only consumes round(shortcut) (both
+                # _quantize_domain_in forms; round is idempotent and
+                # round(x - 128) == round(x) - 128), so the int16 store of
+                # the ROUNDED value is exact given the static wrap-free
+                # proof the caller checked (qp.shortcut_static)
+                shortcut = jnp.round(shortcut).astype(jnp.int16) \
+                    .astype(jnp.float32)
         if i < L - 1:
             h = jax.nn.relu(h)
 
@@ -675,7 +701,8 @@ def _packed_exact_impl(spec: SESRSpec, x, qp_static, s: SLike,
 
 def packed_exact_forward(spec: SESRSpec, qp: QuantParams, x,
                          s: SLike = (2, 4), corrected: bool = False,
-                         halo_axis=None, out_dtype: str = "f32"):
+                         halo_axis=None, out_dtype: str = "f32",
+                         narrow_store: bool = False):
     """PE-exact integer forward on the packed channel axis.
 
     Bit-identical to integer_forward(spec, qp, x, corrected=corrected)
@@ -684,12 +711,18 @@ def packed_exact_forward(spec: SESRSpec, qp: QuantParams, x,
     ``halo_axis``: mesh axis name for W-sharded execution inside shard_map.
     ``out_dtype``: "f32" (dequantized, the scoring contract) or "int8"
     (the raw quantized image — same contract as packed_fast_forward's).
+    ``narrow_store`` (corrected only): int8 inter-layer + int16 shortcut
+    boundary stores — the int8 stores are exact unconditionally; the int16
+    shortcut store needs the static wrap-free proof (qp.shortcut_static),
+    which the caller is responsible for checking.
     """
     from sesr_tpu.quant.integer import _hashable
 
+    if narrow_store and not corrected:
+        raise ValueError("narrow_store requires the corrected datapath")
     x = jnp.asarray(x, jnp.float32)
     return _packed_exact_impl(spec, x, _hashable(qp), _s2(s), corrected,
-                              None, halo_axis, out_dtype)
+                              None, halo_axis, out_dtype, narrow_store)
 
 
 def packed_hybrid_forward(spec: SESRSpec, qp: QuantParams, x,
@@ -719,9 +752,15 @@ def packed_hybrid_forward(spec: SESRSpec, qp: QuantParams, x,
             "flagged layer is only exact when its 18-bit saturation "
             "freedom is proven.")
     x = jnp.asarray(x, jnp.float32)
+    # narrow int8/int16 boundary stores (the fast path's measured HBM win)
+    # when the int16 shortcut store is PROVEN wrap-free for all inputs —
+    # true for every shipped artifact; certify_fast's hybrid equality
+    # obligation executes whatever this lowering does, so the stamp covers
+    # the narrow program too
+    narrow = bool(getattr(qp, "shortcut_static", False))
     return _packed_exact_impl(spec, x, _hashable(qp), _s2(s), True,
                               tuple(qp.fast_cert_layers), halo_axis,
-                              out_dtype)
+                              out_dtype, narrow)
 
 
 def select_packed_forward(qp: QuantParams):

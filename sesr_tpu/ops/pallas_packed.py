@@ -86,29 +86,34 @@ def _roll_neg(a, d: int, axis: int):
     return pltpu.roll(a, (n - d) % n, axis)
 
 
-def _packed_layer_consts(spec: SESRSpec, qp: QuantParams, s: int):
+def _packed_layer_consts(spec: SESRSpec, qp: QuantParams, s):
     """Per-layer kernel inputs: packed weights in per-qy im2col order
-    (T, T*Cp_in, Cp_out) bf16 and the clipped fused bias tiled to packed
-    channels (Cp_out,) f32."""
+    (T_y, T_x*Cp_in, Cp_out) bf16, the clipped fused bias tiled to packed
+    channels (Cp_out,) f32, and the (T_y, T_x) tap extents. At s_h, s_w
+    >= 2 every packed kernel is 3x3; an UNPACKED axis (cell size 1 — the
+    (1,8) W-only default) keeps the original tap count there (5 along H
+    for the k=5 convs)."""
     hi = (1 << (qp.hw.bias_bits - 1)) - 1
     consts = []
     for i in range(qp.num_convs):
         wp = pack_weight_hwio(np.asarray(qp.w_int[i], np.float32), s)
-        t, _, cpi, cpo = wp.shape
-        assert t == 3, "packed kernels are 3x3 for k in {3,5} at s=2"
-        w_cat = wp.reshape(t, t * cpi, cpo)
+        ty, tx, cpi, cpo = wp.shape
+        assert ty % 2 == 1 and tx % 2 == 1, (ty, tx)
+        w_cat = wp.transpose(0, 1, 2, 3).reshape(ty, tx * cpi, cpo)
         fused = np.clip(np.asarray(qp.bias_int[i]), -hi - 1, hi)
         cells = cpo // fused.shape[0]
         consts.append((jnp.asarray(w_cat, jnp.bfloat16),
-                       jnp.asarray(np.tile(fused, cells), jnp.float32)))
+                       jnp.asarray(np.tile(fused, cells), jnp.float32),
+                       (ty, tx)))
     return consts
 
 
-def _conv_packed(x_shift, w_cat, fused, hw):
-    """One packed 3x3 conv on a fixed (E_h, E_w, Cp_in) buffer: per-qy
-    im2col (lane-concat of the 3 qx rolls of the qy-rolled rows) -> one MXU
-    dot per qy, summed; then the 20-bit adder clamp and the clipped fused
-    bias (the fast datapath of quant/integer.py:_integer_conv_pe).
+def _conv_packed(x_shift, w_cat, fused, hw, ty: int = 3, tx: int = 3):
+    """One packed T_y x T_x conv on a fixed (E_h, E_w, Cp_in) buffer:
+    per-qy im2col (lane-concat of the T_x qx rolls of the qy-rolled rows)
+    -> one MXU dot per qy, summed; then the 20-bit adder clamp and the
+    clipped fused bias (the fast datapath of
+    quant/integer.py:_integer_conv_pe).
 
     Why 2D circular rolls: the flattened single-roll-per-tap variant (one
     (M, C) sublane roll by qy*E_w+qx) fails the remote Mosaic compile on
@@ -119,15 +124,16 @@ def _conv_packed(x_shift, w_cat, fused, hw):
     see the module docstring's STATUS section for the measured numbers."""
     e_h, e_w, cpi = x_shift.shape
     cpo = w_cat.shape[-1]
+    ry, rx = (ty - 1) // 2, (tx - 1) // 2
     add_lo = float(-(1 << (hw.pe_add_bits - 1)))
     add_hi = float((1 << (hw.pe_add_bits - 1)) - 1)
     acc = None
-    for qy in range(3):
-        row = x_shift if qy == 1 else _roll_neg(x_shift, qy - 1, 0)
+    for qy in range(ty):
+        row = x_shift if qy == ry else _roll_neg(x_shift, qy - ry, 0)
         patch = jnp.concatenate(
-            [(row if qx == 1 else _roll_neg(row, qx - 1, 1))
-             .astype(jnp.bfloat16) for qx in range(3)], axis=2)
-        d = jnp.dot(patch.reshape(e_h * e_w, 3 * cpi), w_cat[qy],
+            [(row if qx == rx else _roll_neg(row, qx - rx, 1))
+             .astype(jnp.bfloat16) for qx in range(tx)], axis=2)
+        d = jnp.dot(patch.reshape(e_h * e_w, tx * cpi), w_cat[qy],
                     preferred_element_type=jnp.float32)
         acc = d if acc is None else acc + d
     y = jnp.clip(acc.reshape(e_h, e_w, cpo), add_lo, add_hi)
@@ -156,16 +162,21 @@ def build_pallas_packed_forward(spec: SESRSpec, qp: QuantParams,
     hw = qp.hw
     L = spec.num_convs
     consts = _packed_layer_consts(spec, qp, (sh, sw))
-    # wrap garbage penetrates 1 packed cell/layer, so the ring must be >= L;
-    # tile+2g extents must stay 8-aligned for the DMA slabs and the in-kernel
-    # sublane-merging reshape (callers pick tile_h/tile_w accordingly)
+    # wrap garbage penetrates (T-1)//2 cells per layer PER AXIS (1 for
+    # packed axes where every kernel is 3-tap; k//2 for an unpacked axis,
+    # e.g. 2 cells/k=5-layer along H at (1,8)), so each ring must be >=
+    # the per-axis sum; tile+2g extents must stay 8-aligned for the DMA
+    # slabs and the in-kernel sublane-merging reshape
+    need_h = sum((ty - 1) // 2 for _, _, (ty, _tx) in consts)
+    need_w = sum((tx - 1) // 2 for _, _, (_ty, tx) in consts)
     if g is None:
-        g = -(-L // 8) * 8
-    assert g >= L, (g, L)
+        g = (-(-need_h // 4) * 4, -(-need_w // 4) * 4)
+    g_h, g_w = (g, g) if isinstance(g, int) else g
+    assert g_h >= need_h and g_w >= need_w, (g, need_h, need_w)
     # measured Mosaic rules (round-2 probes): the out block's sublane dim
     # (tile_w) must be 8-divisible, and both slab extents 8-aligned
     assert tile_w % 8 == 0, tile_w
-    assert (tile_h + 2 * g) % 8 == 0 and (tile_w + 2 * g) % 8 == 0, \
+    assert (tile_h + 2 * g_h) % 8 == 0 and (tile_w + 2 * g_w) % 8 == 0, \
         (tile_h, tile_w, g)
     Hs, Ws = H // sh, W // sw
     qmin = float(-(1 << (hw.quan_bits - 1)))
@@ -183,9 +194,9 @@ def build_pallas_packed_forward(spec: SESRSpec, qp: QuantParams,
         # service is known to lower (ops/pallas_pipeline.py)
         th = pl.program_id(0) % nth
         tw = pl.program_id(1)
-        row0 = th * tile_h - g
-        col0 = tw * tile_w - g
-        e_h, e_w = tile_h + 2 * g, tile_w + 2 * g
+        row0 = th * tile_h - g_h
+        col0 = tw * tile_w - g_w
+        e_h, e_w = tile_h + 2 * g_h, tile_w + 2 * g_w
 
         rows = lax.broadcasted_iota(jnp.int32, (e_h, e_w, 1), 0) + row0
         cols = lax.broadcasted_iota(jnp.int32, (e_h, e_w, 1), 1) + col0
@@ -213,7 +224,9 @@ def build_pallas_packed_forward(spec: SESRSpec, qp: QuantParams,
             x_shift = jnp.where(inside, xq_i - jnp.float32(z_eff), 0.0)
 
             w_ref, b_ref = rest[2 * i], rest[2 * i + 1]
-            y = _conv_packed(x_shift, w_ref[...], b_ref[...], hw)
+            ty_i, tx_i = consts[i][2]
+            y = _conv_packed(x_shift, w_ref[...], b_ref[...], hw,
+                             ty_i, tx_i)
             y = (y * jnp.float32(float(qp.requant_m[i]))) \
                 * jnp.float32(2.0 ** (-qp.requant_n[i]))
 
@@ -225,14 +238,14 @@ def build_pallas_packed_forward(spec: SESRSpec, qp: QuantParams,
             else:
                 out_q = jnp.clip(jnp.round(y + jnp.float32(qp.a_zero[L])),
                                  qmin, qmax)
-                out_ref[...] = out_q[g:g + tile_h, g:g + tile_w, :] \
-                    .astype(jnp.int8)
+                out_ref[...] = out_q[g_h:g_h + tile_h,
+                                     g_w:g_w + tile_w, :].astype(jnp.int8)
 
     grid = (Hp // tile_h, Wp // tile_w)
     nth, ntw = grid
-    hs_, ws_ = tile_h + 2 * g, tile_w + 2 * g
+    hs_, ws_ = tile_h + 2 * g_h, tile_w + 2 * g_w
     flat_consts, const_specs = [], []
-    for (w_cat, fused) in consts:
+    for (w_cat, fused, _t) in consts:
         for a in (w_cat, fused):
             const_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             flat_consts.append(a)
@@ -262,8 +275,8 @@ def build_pallas_packed_forward(spec: SESRSpec, qp: QuantParams,
         x_q = jnp.clip(jnp.round(x / jnp.float32(s0) + jnp.float32(z0)),
                        qmin, qmax)
         x_p = space_to_depth_nhwc(x_q, (sh, sw))
-        x_p = jnp.pad(x_p, ((0, 0), (g, g + Hp - Hs), (g, g + Wp - Ws),
-                            (0, 0))).astype(jnp.int8)
+        x_p = jnp.pad(x_p, ((0, 0), (g_h, g_h + Hp - Hs),
+                            (g_w, g_w + Wp - Ws), (0, 0))).astype(jnp.int8)
         slabs = jnp.stack([
             jnp.stack([
                 lax.slice(x_p, (0, th * tile_h, tw * tile_w, 0),

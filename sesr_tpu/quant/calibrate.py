@@ -202,8 +202,8 @@ def fake_quant_forward(spec: SESRSpec, params: CollapsedParams, x,
 
 class ObserverRegressionWarning(UserWarning):
     """The chosen calibration observer measurably degrades the deployment
-    integer path vs plain minmax on the calibration set (> 1 dB). Fired by
-    calibrate(guard=True) — the productized lesson of the round-3 observer
+    integer path vs plain minmax (> 1 dB ground-truth PSNR). Fired by
+    guarded_calibrate — the productized lesson of the round-3 observer
     ablation (BASELINE.md): KL gains ~0.5 dB on the SR tasks but silently
     clips the sparse Bayer ranges of the raw-domain tasks by ~12 dB, the
     likely reason the reference's author abandoned it (define.py:16-20)."""
@@ -213,9 +213,12 @@ def quantization_fidelity_psnr(spec: SESRSpec, params: CollapsedParams,
                                qp: QuantParams,
                                images: Sequence[np.ndarray]) -> float:
     """Mean PSNR (dB) of the corrected integer deployment output against
-    the FP32 forward over `images` — how much quality the quantization
-    itself costs (no ground truth needed). The guard metric for observer
-    choice."""
+    the FP32 forward over `images` — how far the quantization strays from
+    the float model (no ground truth needed). NOT the observer-guard
+    metric: KL deliberately clips outliers, so it can LOSE FP32 fidelity
+    by several dB while GAINING ground-truth PSNR (measured round 4 on
+    sr_x2/sr_x4: −2.0/−9.3 dB fidelity, +0.7/+0.3 dB GT PSNR) — the guard
+    must score against ground truth (guarded_calibrate)."""
     from sesr_tpu.models.sesr import forward_float
     from sesr_tpu.quant.integer import integer_forward
 
@@ -229,6 +232,54 @@ def quantization_fidelity_psnr(spec: SESRSpec, params: CollapsedParams,
     return tot / max(len(images), 1)
 
 
+def guarded_calibrate(spec: SESRSpec, params: CollapsedParams, data,
+                      task: str, observer: str = "minmax",
+                      threshold_db: float = 1.0, **calibrate_kwargs):
+    """calibrate() with the observer guardrail (round-3 verdict item 8):
+    for a non-minmax observer, ALSO calibrate plain minmax, score both
+    artifacts through the corrected integer deployment path against
+    ground truth (the round-3 ablation's own protocol, metrics.
+    evaluate_pair), and fire ObserverRegressionWarning when the chosen
+    observer loses more than ``threshold_db``. Guards the KL foot-gun —
+    the ablation measured −12 dB on raw-domain tasks, silently.
+
+    ``data``: (inp, gt[, ...]) pairs. Returns the chosen-observer
+    QuantParams either way; callers decide whether the warning aborts
+    (the CLI requires --force)."""
+    import warnings
+    from sesr_tpu.metrics import evaluate_pair
+    from sesr_tpu.quant.integer import integer_forward
+
+    images = [d[0] for d in data]
+    qp = calibrate(spec, params, images, observer=observer,
+                   **calibrate_kwargs)
+    if observer == "minmax" or not data:
+        return qp
+    qp_mm = calibrate(spec, params, images, observer="minmax",
+                      **calibrate_kwargs)
+
+    def score(q):
+        tot = 0.0
+        for inp, gt, *_ in data:
+            y = np.asarray(integer_forward(spec, q, jnp.asarray(inp),
+                                           corrected=True)[0])
+            p, _ = evaluate_pair(task, y[0], gt[0], inp[0])
+            tot += p
+        return tot / len(data)
+
+    p_obs, p_mm = score(qp), score(qp_mm)
+    if p_obs < p_mm - threshold_db:
+        warnings.warn(
+            f"observer '{observer}' degrades the integer deployment path "
+            f"by {p_mm - p_obs:.2f} dB vs minmax on this calibration set "
+            f"({p_obs:.2f} vs {p_mm:.2f} dB PSNR against ground truth) — "
+            f"KL is known to clip sparse raw-domain ranges "
+            f"catastrophically (BASELINE.md observer ablation); use "
+            f"minmax/percentile for this task, or keep it deliberately "
+            f"(CLI: --force)", ObserverRegressionWarning, stacklevel=2)
+    return qp
+
+
 def calibrate(spec: SESRSpec, params: CollapsedParams,
               images: Sequence[np.ndarray],
               hw: HardwareConfig = DEFAULT_HW,
@@ -237,8 +288,7 @@ def calibrate(spec: SESRSpec, params: CollapsedParams,
               observer: str = "minmax",
               percentile: float = 0.9999,
               safe_zero_floor: bool = False,
-              qat_add_bounds=None,
-              guard: bool = True) -> QuantParams:
+              qat_add_bounds=None) -> QuantParams:
     """Run the calibration set through the fake-quant pipeline and finalize
     a complete QuantParams (test.py eval loop + :186-217 finalize).
 
@@ -251,12 +301,8 @@ def calibrate(spec: SESRSpec, params: CollapsedParams,
     composition's frozen QuantAdd at the outer residual add (see
     quant/qat.py quant_add_frozen).
 
-    guard (default True): when a histogram observer is chosen, also
-    finalize the plain-minmax artifact and compare both through the
-    corrected integer path against FP32 on the calibration set; a > 1 dB
-    regression fires ObserverRegressionWarning (the CLI escalates it to an
-    error without --force). Costs ~3 extra forwards per image, only on the
-    non-default observers.
+    Observer guardrail: see guarded_calibrate — the ground-truth-scored
+    comparison against minmax that the CLI runs for non-default observers.
     """
     fq_weights, w_int, w_scale = _prep_fq_weights(params, hw)
     L = spec.num_convs
@@ -278,11 +324,9 @@ def calibrate(spec: SESRSpec, params: CollapsedParams,
         for d in range(L + 1):
             calib.update(d, mm[0, d], mm[1, d])
 
-    minmax_vals = None
     if observer != "minmax":
         from sesr_tpu.quant.observers import (
             BINS_NUM, percentile_bounds, kl_bounds)
-        minmax_vals = (list(calib.min_vals), list(calib.max_vals))
         bounds = jnp.asarray(
             np.stack([calib.min_vals, calib.max_vals], axis=1), jnp.float32)
         total = np.zeros((L + 1, BINS_NUM), np.int64)
@@ -299,27 +343,7 @@ def calibrate(spec: SESRSpec, params: CollapsedParams,
                 raise ValueError(f"unknown observer {observer!r}")
             calib.min_vals[d], calib.max_vals[d] = new_lo, new_hi
 
-    qp = finalize(spec, w_int, w_scale,
-                  [np.asarray(b) for b in params.biases], calib, hw,
-                  force_output_min_zero=force_output_min_zero,
-                  safe_zero_floor=safe_zero_floor)
-    if guard and minmax_vals is not None and images:
-        qp_mm = finalize(spec, w_int, w_scale,
-                         [np.asarray(b) for b in params.biases],
-                         CalibState(*minmax_vals), hw,
-                         force_output_min_zero=force_output_min_zero,
-                         safe_zero_floor=safe_zero_floor)
-        p_obs = quantization_fidelity_psnr(spec, params, qp, images)
-        p_mm = quantization_fidelity_psnr(spec, params, qp_mm, images)
-        if p_obs < p_mm - 1.0:
-            import warnings
-            warnings.warn(
-                f"observer '{observer}' degrades the integer deployment "
-                f"path by {p_mm - p_obs:.2f} dB vs minmax on the "
-                f"calibration set ({p_obs:.2f} vs {p_mm:.2f} dB fidelity "
-                f"to FP32) — KL is known to clip sparse raw-domain ranges "
-                f"catastrophically (BASELINE.md observer ablation); use "
-                f"minmax/percentile for this task or pass guard=False "
-                f"(CLI: --force) to keep it", ObserverRegressionWarning,
-                stacklevel=2)
-    return qp
+    return finalize(spec, w_int, w_scale,
+                    [np.asarray(b) for b in params.biases], calib, hw,
+                    force_output_min_zero=force_output_min_zero,
+                    safe_zero_floor=safe_zero_floor)

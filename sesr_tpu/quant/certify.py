@@ -355,8 +355,13 @@ def certify_fast(spec: SESRSpec, qp: QuantParams,
                     break
     elif any(layer_ok):
         from sesr_tpu.ops.packed import packed_hybrid_forward
+        # carry the shortcut_static stamp into the equality run: the
+        # hybrid lowering narrow-stores its boundaries exactly when the
+        # artifact holds that proof, so the program verified here must be
+        # the program that will serve
         qp_h = dataclasses.replace(qp_try, fast_cert_ok=False,
-                                   fast_cert_layers=tuple(layer_ok))
+                                   fast_cert_layers=tuple(layer_ok),
+                                   shortcut_static=sc_static)
         # mechanical belt-and-braces over every geometry the CLI/bench
         # expose (the packed rewrite is cell-size-exact by construction)
         for cells in CERTIFIED_CELLS:

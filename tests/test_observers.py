@@ -164,18 +164,28 @@ def test_dump_histograms(tmp_path):
 
 def test_kl_guardrail_fires_on_raw_domain():
     """The round-3 ablation's foot-gun, now guarded (round-3 verdict item
-    8): KL on a raw-domain task silently clipped ~12 dB; calibrate must
-    fire ObserverRegressionWarning when the chosen observer loses >1 dB vs
-    minmax on the calibration set."""
+    8): KL on a raw-domain task silently clipped ~12 dB; guarded_calibrate
+    must fire ObserverRegressionWarning when the chosen observer loses
+    >1 dB ground-truth PSNR vs minmax on the calibration set. (The metric
+    is GT PSNR, the ablation's own protocol — NOT fidelity to FP32, which
+    KL legitimately trades away on the SR tasks while winning on GT.)"""
+    import warnings
     from sesr_tpu.data.datasets import SyntheticDataset
     from sesr_tpu.io.torch_import import load_reference_checkpoint
-    from sesr_tpu.quant.calibrate import ObserverRegressionWarning
+    from sesr_tpu.quant.calibrate import (guarded_calibrate,
+                                          ObserverRegressionWarning)
 
     spec = spec_for_task("nr")
     params = load_reference_checkpoint("nr")
-    images = [inp for inp, _ in SyntheticDataset("nr", n=2, hw=(64, 96))]
+    data = list(SyntheticDataset("nr", n=2, hw=(64, 96)))
     with pytest.warns(ObserverRegressionWarning, match="degrades"):
-        calibrate(spec, params, images, observer="kl", safe_zero_floor=True)
+        guarded_calibrate(spec, params, data, "nr", observer="kl",
+                          safe_zero_floor=True)
+    # minmax itself never warns (nothing to compare against)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", ObserverRegressionWarning)
+        guarded_calibrate(spec, params, data, "nr", observer="minmax",
+                          safe_zero_floor=True)
 
 
 def test_cli_calibrate_kl_requires_force(tmp_path):

@@ -359,3 +359,59 @@ def test_packed_exact_and_hybrid_int8_output_contract(task):
         assert y_8.dtype == np.int8
         np.testing.assert_array_equal(
             (y_8.astype(np.float32) - zero_L) * scale_L, y_f)
+
+
+@pytest.mark.parametrize("task", ["nr", "nrdm_6"])
+def test_packed_hybrid_narrow_stores(task):
+    """Round-3 verdict item 4: the hybrid lowering narrow-stores its int8
+    inter-layer / int16 shortcut boundaries when the artifact holds the
+    static wrap-free proof — program provably different from the wide
+    build, outputs bit-identical to the corrected interpreter either way."""
+    import dataclasses
+    import jax
+    from sesr_tpu.ops.packed import packed_hybrid_forward
+
+    path = os.path.join(ARTIFACTS, f"qparams_{task}.npz")
+    if not os.path.exists(path):
+        pytest.skip("artifact not built")
+    qp = QuantParams.load(path)
+    spec = spec_for_task(task)
+    assert qp.shortcut_static, "shipped artifact should carry the proof"
+    qp_wide = dataclasses.replace(qp, shortcut_static=False)
+
+    shape = jax.ShapeDtypeStruct((1, 32, 48, spec.in_channels), jnp.float32)
+    t_narrow = jax.jit(
+        lambda v: packed_hybrid_forward(spec, qp, v)).lower(shape).as_text()
+    t_wide = jax.jit(
+        lambda v: packed_hybrid_forward(spec, qp_wide, v)).lower(shape
+                                                                 ).as_text()
+    assert t_narrow != t_wide
+    assert "i16" in t_narrow and "i16" not in t_wide  # int16 shortcut store
+
+    x = SyntheticDataset(task, n=1, hw=(32, 48), seed=11)[0][0]
+    want, _ = integer_forward(spec, qp, jnp.asarray(x), corrected=True)
+    for q in (qp, qp_wide):
+        got = packed_hybrid_forward(spec, q, x)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_packed_exact_narrow_store_bitexact():
+    """packed_exact_forward(narrow_store=True) — int8 boundaries + int16
+    shortcut — stays bit-identical to the corrected interpreter (the int8
+    stores are exact unconditionally; sr_x2's shortcut is statically
+    proven)."""
+    from sesr_tpu.ops.packed import packed_exact_forward
+
+    path = os.path.join(ARTIFACTS, "qparams_sr_x2.npz")
+    if not os.path.exists(path):
+        pytest.skip("artifact not built")
+    qp = QuantParams.load(path)
+    assert qp.shortcut_static
+    spec = spec_for_task("sr_x2")
+    x = SyntheticDataset("sr_x2", n=1, hw=(32, 48), seed=13)[0][0]
+    want, _ = integer_forward(spec, qp, jnp.asarray(x), corrected=True)
+    got = packed_exact_forward(spec, qp, x, corrected=True,
+                               narrow_store=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    with pytest.raises(ValueError, match="corrected"):
+        packed_exact_forward(spec, qp, x, narrow_store=True)

@@ -24,7 +24,13 @@ def _qp(task):
 
 
 @pytest.mark.parametrize("task,s", [("sr_x2", 2), ("sr_x4", 2),
-                                    ("sr_x2", 4), ("sr_x2", (2, 4))])
+                                    ("sr_x2", 4), ("sr_x2", (2, 4)),
+                                    # W-only cells (the shipped XLA default):
+                                    # the H axis stays unpacked, so the k=5
+                                    # convs keep 5 H-taps and the H ring is
+                                    # sum(k//2)=7 — the per-axis tap/ring
+                                    # generalization (round-4)
+                                    ("sr_x2", (1, 8)), ("sr_x4", (1, 8))])
 def test_packed_pallas_bitexact(task, s):
     spec = spec_for_task(task)
     qp = _qp(task)

@@ -64,7 +64,7 @@ def study_task(task: str, n_eval: int = 6):
                       float(np.mean([s for _, s in fp32])), "")
 
     for obs in OBSERVERS:
-        qp = calibrate(spec, params, calib_imgs, observer=obs, guard=False,
+        qp = calibrate(spec, params, calib_imgs, observer=obs,
                        safe_zero_floor=True)
         qp = certify_fast(spec, qp, calib_imgs)
         scores = []
