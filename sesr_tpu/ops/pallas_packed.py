@@ -86,14 +86,18 @@ def _roll_neg(a, d: int, axis: int):
     return pltpu.roll(a, (n - d) % n, axis)
 
 
-def _packed_layer_consts(spec: SESRSpec, qp: QuantParams, s):
+def _packed_layer_consts(spec: SESRSpec, qp: QuantParams, s,
+                         dot_dtype: str = "bf16"):
     """Per-layer kernel inputs: packed weights in per-qy im2col order
-    (T_y, T_x*Cp_in, Cp_out) bf16, the clipped fused bias tiled to packed
-    channels (Cp_out,) f32, and the (T_y, T_x) tap extents. At s_h, s_w
-    >= 2 every packed kernel is 3x3; an UNPACKED axis (cell size 1 — the
-    (1,8) W-only default) keeps the original tap count there (5 along H
-    for the k=5 convs)."""
+    (T_y, T_x*Cp_in, Cp_out) bf16 (or int8 for the int8-MXU dot form),
+    the clipped fused bias tiled to packed channels (Cp_out,) f32, the
+    (T_y, T_x) tap extents, and — int8 form only — the per-channel
+    zero-correction vector z_eff * sum(W) (int32; see _conv_packed). At
+    s_h, s_w >= 2 every packed kernel is 3x3; an UNPACKED axis (cell size
+    1 — the (1,8) W-only default) keeps the original tap count there (5
+    along H for the k=5 convs)."""
     hi = (1 << (qp.hw.bias_bits - 1)) - 1
+    w_dt = jnp.int8 if dot_dtype == "int8" else jnp.bfloat16
     consts = []
     for i in range(qp.num_convs):
         wp = pack_weight_hwio(np.asarray(qp.w_int[i], np.float32), s)
@@ -102,9 +106,13 @@ def _packed_layer_consts(spec: SESRSpec, qp: QuantParams, s):
         w_cat = wp.transpose(0, 1, 2, 3).reshape(ty, tx * cpi, cpo)
         fused = np.clip(np.asarray(qp.bias_int[i]), -hi - 1, hi)
         cells = cpo // fused.shape[0]
-        consts.append((jnp.asarray(w_cat, jnp.bfloat16),
+        z_eff = float(qp.effective_zero(i))
+        zc = np.asarray(np.round(z_eff * w_cat.sum(axis=(0, 1))), np.int64)
+        assert np.abs(zc).max() < 2 ** 31, zc
+        consts.append((jnp.asarray(w_cat, w_dt),
                        jnp.asarray(np.tile(fused, cells), jnp.float32),
-                       (ty, tx)))
+                       (ty, tx),
+                       jnp.asarray(zc, jnp.int32)))
     return consts
 
 
@@ -140,10 +148,43 @@ def _conv_packed(x_shift, w_cat, fused, hw, ty: int = 3, tx: int = 3):
     return y + fused
 
 
+def _conv_packed_int8(x_int, w_cat, fused, zc, hw, ty: int = 3,
+                      tx: int = 3):
+    """The int8-MXU form of _conv_packed: the input buffer carries the raw
+    quantized values q (int8-exact) with the pad cells holding z_eff
+    instead of the shifted q - z_eff (whose range [-255, 255] does NOT fit
+    int8), so the per-tap casts produce genuine int8 operands for the
+    measured-269-TFLOP/s int8 MXU path (tools/bench_probe_pallas_int8.py;
+    int32 accumulator). The conv the datapath wants is conv(q - z_eff)
+    with zero pads == conv(q, pads=z_eff) - z_eff*sum(W), so the
+    correction zc (host-side int32, per output channel) is subtracted
+    BEFORE the 20-bit adder clamp — the clamped quantity is bit-identical
+    to the bf16 form's. Rolls stay on the f32 buffer (pltpu.roll is
+    32-bit-only; this route needs no packed words, so the r3b closure —
+    byte-plane separation of packed int8 — does not apply)."""
+    e_h, e_w, cpi = x_int.shape
+    cpo = w_cat.shape[-1]
+    ry, rx = (ty - 1) // 2, (tx - 1) // 2
+    add_lo = -(1 << (hw.pe_add_bits - 1))
+    add_hi = (1 << (hw.pe_add_bits - 1)) - 1
+    acc = None
+    for qy in range(ty):
+        row = x_int if qy == ry else _roll_neg(x_int, qy - ry, 0)
+        patch = jnp.concatenate(
+            [(row if qx == rx else _roll_neg(row, qx - rx, 1))
+             .astype(jnp.int8) for qx in range(tx)], axis=2)
+        d = jnp.dot(patch.reshape(e_h * e_w, tx * cpi), w_cat[qy],
+                    preferred_element_type=jnp.int32)
+        acc = d if acc is None else acc + d
+    y = jnp.clip(acc.reshape(e_h, e_w, cpo) - zc, add_lo, add_hi)
+    return y.astype(jnp.float32) + fused
+
+
 def build_pallas_packed_forward(spec: SESRSpec, qp: QuantParams,
                                 H: int, W: int, *, s: int = 2,
                                 tile_h: int = 32, tile_w: int = 128,
                                 batch: int = 1, g=None,
+                                dot_dtype: str = "bf16",
                                 interpret: bool = False):
     """Compile the fused packed forward for a fixed input size.
 
@@ -151,7 +192,12 @@ def build_pallas_packed_forward(spec: SESRSpec, qp: QuantParams,
     shuffle applied): f(x: (batch, H, W, C) float) -> float output.
     H, W must be multiples of s (deployment frame sizes are; odd sizes fall
     back to ops/packed.py's XLA lowering, which masks partial cells).
+    dot_dtype: "bf16" (default) or "int8" — both bit-exact; int8 runs the
+    dots on the int8 MXU path (~1.85x the bf16 rate) via the pad-at-zero /
+    pre-clamp-correction form of _conv_packed_int8.
     """
+    assert dot_dtype in ("bf16", "int8"), dot_dtype
+    dot8 = dot_dtype == "int8"
     if not getattr(qp, "fast_cert_ok", False):
         raise ValueError(
             "the fused packed kernel lowers the certified fast datapath "
@@ -161,14 +207,14 @@ def build_pallas_packed_forward(spec: SESRSpec, qp: QuantParams,
     assert H % sh == 0 and W % sw == 0, (H, W, s)
     hw = qp.hw
     L = spec.num_convs
-    consts = _packed_layer_consts(spec, qp, (sh, sw))
+    consts = _packed_layer_consts(spec, qp, (sh, sw), dot_dtype)
     # wrap garbage penetrates (T-1)//2 cells per layer PER AXIS (1 for
     # packed axes where every kernel is 3-tap; k//2 for an unpacked axis,
     # e.g. 2 cells/k=5-layer along H at (1,8)), so each ring must be >=
     # the per-axis sum; tile+2g extents must stay 8-aligned for the DMA
     # slabs and the in-kernel sublane-merging reshape
-    need_h = sum((ty - 1) // 2 for _, _, (ty, _tx) in consts)
-    need_w = sum((tx - 1) // 2 for _, _, (_ty, tx) in consts)
+    need_h = sum((ty - 1) // 2 for _, _, (ty, _tx), _zc in consts)
+    need_w = sum((tx - 1) // 2 for _, _, (_ty, tx), _zc in consts)
     if g is None:
         g = (-(-need_h // 4) * 4, -(-need_w // 4) * 4)
     g_h, g_w = (g, g) if isinstance(g, int) else g
@@ -188,7 +234,7 @@ def build_pallas_packed_forward(spec: SESRSpec, qp: QuantParams,
     cpo = sh * sw * spec.conv_out_channels
 
     def kernel(x_ref, *rest):
-        out_ref = rest[2 * L]
+        out_ref = rest[3 * L]
         # grid = (batch * nth, ntw): batch is folded into the leading grid
         # dim so the call keeps the 5D-slab / 2D-grid structure the Mosaic
         # service is known to lower (ops/pallas_pipeline.py)
@@ -221,12 +267,20 @@ def build_pallas_packed_forward(spec: SESRSpec, qp: QuantParams,
                     * jnp.float32(2.0 ** (-qp.res_requant_n))
                 xq_i = jnp.clip(jnp.round(t + jnp.float32(qp.a_zero[i])),
                                 qmin, qmax)
-            x_shift = jnp.where(inside, xq_i - jnp.float32(z_eff), 0.0)
-
-            w_ref, b_ref = rest[2 * i], rest[2 * i + 1]
+            w_ref, b_ref, zc_ref = rest[3 * i], rest[3 * i + 1], \
+                rest[3 * i + 2]
             ty_i, tx_i = consts[i][2]
-            y = _conv_packed(x_shift, w_ref[...], b_ref[...], hw,
-                             ty_i, tx_i)
+            if dot8:
+                # pad cells hold z_eff (not the shifted 0) so the buffer
+                # stays int8-exact; the z_eff*sum(W) correction is
+                # subtracted pre-clamp inside _conv_packed_int8
+                x_in = jnp.where(inside, xq_i, jnp.float32(z_eff))
+                y = _conv_packed_int8(x_in, w_ref[...], b_ref[...],
+                                      zc_ref[...], hw, ty_i, tx_i)
+            else:
+                x_shift = jnp.where(inside, xq_i - jnp.float32(z_eff), 0.0)
+                y = _conv_packed(x_shift, w_ref[...], b_ref[...], hw,
+                                 ty_i, tx_i)
             y = (y * jnp.float32(float(qp.requant_m[i]))) \
                 * jnp.float32(2.0 ** (-qp.requant_n[i]))
 
@@ -245,8 +299,8 @@ def build_pallas_packed_forward(spec: SESRSpec, qp: QuantParams,
     nth, ntw = grid
     hs_, ws_ = tile_h + 2 * g_h, tile_w + 2 * g_w
     flat_consts, const_specs = [], []
-    for (w_cat, fused, _t) in consts:
-        for a in (w_cat, fused):
+    for (w_cat, fused, _t, zc) in consts:
+        for a in (w_cat, fused, zc):
             const_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             flat_consts.append(a)
 

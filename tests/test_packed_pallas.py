@@ -44,6 +44,26 @@ def test_packed_pallas_bitexact(task, s):
     np.testing.assert_array_equal(np.asarray(fwd(x)), np.asarray(y_ref))
 
 
+@pytest.mark.parametrize("task,s", [("sr_x2", (1, 8)), ("sr_x2", (2, 4)),
+                                    ("nrdm_3", (1, 8))])
+def test_packed_pallas_int8_dots_bitexact(task, s):
+    """The int8-MXU dot form (dot_dtype="int8"): raw q values with
+    z_eff-valued pads (int8-exact operands) and the z_eff*sum(W)
+    correction subtracted pre-clamp — must be bit-identical to the bf16
+    form and hence the certified fast path."""
+    spec = spec_for_task(task)
+    qp = _qp(task)
+    rng = np.random.default_rng(7)
+    H, W = 40, 72
+    x = jnp.asarray(rng.random((1, H, W, spec.in_channels),
+                               dtype=np.float32))
+    fwd = build_pallas_packed_forward(spec, qp, H, W, s=s, tile_h=16,
+                                      tile_w=24, dot_dtype="int8",
+                                      interpret=True)
+    y_ref, _ = integer_forward(spec, qp, x, corrected=True, compute="fast")
+    np.testing.assert_array_equal(np.asarray(fwd(x)), np.asarray(y_ref))
+
+
 def test_packed_pallas_batched():
     spec = spec_for_task("sr_x2")
     qp = _qp("sr_x2")
