@@ -252,16 +252,20 @@ def main():
         except Exception as e:
             log(f"bench: 1080p probes: FAILED {str(e)[:120]}")
         # the saturating task's layer-hybrid path (PE-exact on its one
-        # saturating layer, fast on the rest) vs all-PE-exact
+        # saturating layer, fast on the rest) vs all-PE-exact — at the
+        # shipped configs: hybrid (1,8) + narrow int8/int16 boundary
+        # stores (r4b interleaved medians: 867 narrow vs 684 wide vs 600
+        # at (2,4)); pe-exact keeps (2,4) (its r4a/r4b A/B)
         nr_path = os.path.join(REPO, "artifacts", "qparams_nr.npz")
         if os.path.exists(nr_path):
             from sesr_tpu.quant.params import QuantParams
             spec_nr = spec_for_task("nr")
             qp_nr = _hashable(QuantParams.load(nr_path))
             if qp_nr.fast_cert_layers is not None:
-                extra["nr_hybrid_2x4"] = (1, lambda c: _packed_exact_impl(
-                    spec_nr, c, qp_nr, (2, 4), True,
-                    tuple(qp_nr.fast_cert_layers)))
+                extra["nr_hybrid_1x8"] = (1, lambda c: _packed_exact_impl(
+                    spec_nr, c, qp_nr, (1, 8), True,
+                    tuple(qp_nr.fast_cert_layers), None, "f32",
+                    bool(qp_nr.qp.shortcut_static)))
             extra["nr_pe_exact_2x4"] = (1, lambda c: _packed_exact_impl(
                 spec_nr, c, qp_nr, (2, 4), True))
         try:

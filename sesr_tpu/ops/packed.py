@@ -70,7 +70,13 @@ CERTIFIED_CELLS: Tuple[Tuple[int, int], ...] = ((1, 8), (2, 4), (4, 2),
 # (1,8) vs 604 (2,4) — a tie — but 1080p 618 vs 389, +59%, erasing the
 # resolution-scaling regression (flat 540p -> 1080p); hybrid medians also
 # favor (1,8) (r3i/r3l, see default_cells). Only the PE-exact lowering
-# keeps (2, 4) pending its own A/B.
+# keeps (2, 4), settled by its own A/B in round 4 (see default_cells).
+# 256-lane cells were probed and CLOSED round 4 (tools/bench_probe_r4a.py,
+# interleaved medians): (1,16) 401 / (2,8) 432 vs (1,8) 836* at 540p,
+# 374 / 294 vs 632 at 1080p, and (1,16) 453 vs 763 at batch 8 — the 2x
+# k=3 FLOP inflation (16x vs 8x) buys no MXU-efficiency win at 256
+# channels. (*that session had throughput episodes; the stable 1080p and
+# batch-8 rows carry the conclusion.)
 FAST_DEFAULT_CELLS: Tuple[int, int] = (1, 8)
 
 
@@ -83,7 +89,10 @@ def default_cells(mode: str) -> Tuple[int, int]:
     (1,8) in two independent interleaved sessions (r3i nr 899 vs 657;
     r3l nr 718 vs 618, nrdm_6 464 vs 451 — reps overlap, medians agree;
     the OC-concat lane-fill logic depends on cell COUNT, identical at 8).
-    pe-exact keeps (2, 4): unmeasured at (1,8)."""
+    pe-exact keeps (2, 4): measured round 4 (tools/bench_probe_r4a.py,
+    interleaved medians 202 vs 186 at (1,8) — the per-PE channel split
+    quarters the per-conv channel count, so the packing transpose cost
+    the W-only cells avoid no longer dominates)."""
     return (2, 4) if mode == "pe-exact" else FAST_DEFAULT_CELLS
 
 
