@@ -27,17 +27,23 @@ halo ring is L cells (vs sum(k//2)=7 original pixels).
 STATUS / PERFORMANCE (TPU v5e, SESR-x2 540x960, readback-synced K-diff
 timing with a full-tensor-reduction consumer — see bench.py and the
 CLAUDE.md note on why a sliced consumer under-reports ~5x): best measured
-419 Mpx/s at s=(2,4), tile 40x64, g=8 (410 at 32x64) — 5.3x round-1's
-unpacked fused kernel (21), 5.2x the unpacked XLA fast path (80), and
-2.1x the VERDICT r1 target (200). The SHIPPED deployment path remains the
-XLA packed lowering (ops/packed.py, ~603 Mpx/s at the same cells): the
-kernel pays for its in-VMEM im2col (9 rolls + lane-concats per conv,
-~98*C bytes of relayout per extent pixel, invariant to the packing
-factor) and for halo overcompute (fixed-extent tiles waste extent/tile =
-1.56-1.88x of the MXU work), while XLA's conv emitter folds the same
-gather into its MXU pipeline; whole-net VMEM fusion saves inter-layer HBM
-traffic that the narrow int8 boundaries of the XLA path already reduce to
-noise. The kernel stays useful where HBM is the binding constraint
+513 Mpx/s at s=(1,8), tile 56x40, dot_dtype="int8" (r4d interleaved
+medians; 454 for the same config in the r4c session — chip drift), from
+the round-4 retune at the W-only geometry (tile sweep r4a: t56x40 485 >
+t32x64 398 > t104x24 340 bf16) plus the int8-MXU dot form (r4c/r4d:
+int8 beats bf16 at every tile, ~+10-25%). 419 was the (2,4)-era best
+(tile 40x64, bf16). The SHIPPED deployment path remains the XLA packed
+lowering (ops/packed.py, 650-700 Mpx/s in the same sessions): the
+kernel's binding cost is the in-VMEM neighbor-gather relayout
+(pltpu.roll + per-qy lane-concat, ~98*C bytes per extent pixel,
+invariant to packing factor AND to dot dtype) plus fixed-extent halo
+overcompute (1.6-1.9x), while XLA's conv emitter folds the same gather
+into its MXU pipeline. Round 4 measured all three dot forms to isolate
+this: concat-bf16 412, concat-int8 454-513, per-tap dots (tap_dots=True,
+NO lane-concat, K=128 MXU-native dots) int8 410 / bf16 312 — dropping
+the concat LOSES (more weight-stationary swaps), so the relayout is the
+rolls themselves, and every roll alternative is a recorded Mosaic wall
+(see below). The kernel stays useful where HBM is the binding constraint
 (larger frames per chip, fatter dtypes) and as the bit-exact Mosaic
 lowering proof of the certified fast datapath.
 
@@ -47,7 +53,10 @@ unless noted): the out block's sublane dim (tile_w) must be 8-divisible
 beyond ~80-96 fail; live VMEM beyond ~16MB fails (s=4's C=256 buffers cap
 it to smaller tiles than s=(2,4), costing it 2.3-2.8x); a flattened
 single-roll-per-tap variant (sublane roll of the (M, C) view by
-qy*E_w+qx) fails everywhere the 2D roll form compiles.
+qy*E_w+qx) fails everywhere the 2D roll form compiles. Round 4: tile
+96x40 fails in both dot dtypes (e_h=112 — the extent wall applies to the
+H extent too at this width) and the tap-dot form fails at t56x64 and
+t104x40 where the concat form's equivalents compile.
 
 Round-3 closure of the int8-dot door (tools/bench_probe_r3b.py): packing
 four int8 channels per int32 lane would keep the im2col rolls 32-bit
@@ -87,7 +96,8 @@ def _roll_neg(a, d: int, axis: int):
 
 
 def _packed_layer_consts(spec: SESRSpec, qp: QuantParams, s,
-                         dot_dtype: str = "bf16"):
+                         dot_dtype: str = "bf16",
+                         tap_dots: bool = False):
     """Per-layer kernel inputs: packed weights in per-qy im2col order
     (T_y, T_x*Cp_in, Cp_out) bf16 (or int8 for the int8-MXU dot form),
     the clipped fused bias tiled to packed channels (Cp_out,) f32, the
@@ -103,11 +113,12 @@ def _packed_layer_consts(spec: SESRSpec, qp: QuantParams, s,
         wp = pack_weight_hwio(np.asarray(qp.w_int[i], np.float32), s)
         ty, tx, cpi, cpo = wp.shape
         assert ty % 2 == 1 and tx % 2 == 1, (ty, tx)
-        w_cat = wp.transpose(0, 1, 2, 3).reshape(ty, tx * cpi, cpo)
+        w_cat = wp if tap_dots else \
+            wp.transpose(0, 1, 2, 3).reshape(ty, tx * cpi, cpo)
         fused = np.clip(np.asarray(qp.bias_int[i]), -hi - 1, hi)
         cells = cpo // fused.shape[0]
         z_eff = float(qp.effective_zero(i))
-        zc = np.asarray(np.round(z_eff * w_cat.sum(axis=(0, 1))), np.int64)
+        zc = np.asarray(np.round(z_eff * wp.sum(axis=(0, 1, 2))), np.int64)
         assert np.abs(zc).max() < 2 ** 31, zc
         consts.append((jnp.asarray(w_cat, w_dt),
                        jnp.asarray(np.tile(fused, cells), jnp.float32),
@@ -180,11 +191,44 @@ def _conv_packed_int8(x_int, w_cat, fused, zc, hw, ty: int = 3,
     return y.astype(jnp.float32) + fused
 
 
+def _conv_packed_tapdots(x_in, w_tap, fused, zc, hw, ty: int, tx: int,
+                         dot8: bool):
+    """Per-tap-dot form: NO lane-concat at all — one (M, Cp_in) x
+    (Cp_in, Cp_out) dot per (qy, qx) tap, accumulated. K = Cp_in = 128 is
+    the MXU-native contraction size, and the im2col concat (the measured
+    relayout cost of _conv_packed) disappears; only the 2D rolls remain.
+    w_tap: (T_y, T_x, Cp_in, Cp_out). dot8 selects the int8-MXU operand
+    form (x_in carries raw q with z_eff pads; zc subtracted pre-clamp) vs
+    bf16 (x_in carries q - z_eff with zero pads; zc is all-zero)."""
+    e_h, e_w, cpi = x_in.shape
+    cpo = w_tap.shape[-1]
+    ry, rx = (ty - 1) // 2, (tx - 1) // 2
+    add_lo = -(1 << (hw.pe_add_bits - 1))
+    add_hi = (1 << (hw.pe_add_bits - 1)) - 1
+    in_dt = jnp.int8 if dot8 else jnp.bfloat16
+    acc_dt = jnp.int32 if dot8 else jnp.float32
+    acc = None
+    for qy in range(ty):
+        row = x_in if qy == ry else _roll_neg(x_in, qy - ry, 0)
+        for qx in range(tx):
+            tap = row if qx == rx else _roll_neg(row, qx - rx, 1)
+            d = jnp.dot(tap.astype(in_dt).reshape(e_h * e_w, cpi),
+                        w_tap[qy, qx], preferred_element_type=acc_dt)
+            acc = d if acc is None else acc + d
+    y = acc.reshape(e_h, e_w, cpo)
+    if dot8:
+        y = jnp.clip(y - zc, add_lo, add_hi).astype(jnp.float32)
+    else:
+        y = jnp.clip(y, float(add_lo), float(add_hi))
+    return y + fused
+
+
 def build_pallas_packed_forward(spec: SESRSpec, qp: QuantParams,
                                 H: int, W: int, *, s: int = 2,
                                 tile_h: int = 32, tile_w: int = 128,
                                 batch: int = 1, g=None,
                                 dot_dtype: str = "bf16",
+                                tap_dots: bool = False,
                                 interpret: bool = False):
     """Compile the fused packed forward for a fixed input size.
 
@@ -207,7 +251,7 @@ def build_pallas_packed_forward(spec: SESRSpec, qp: QuantParams,
     assert H % sh == 0 and W % sw == 0, (H, W, s)
     hw = qp.hw
     L = spec.num_convs
-    consts = _packed_layer_consts(spec, qp, (sh, sw), dot_dtype)
+    consts = _packed_layer_consts(spec, qp, (sh, sw), dot_dtype, tap_dots)
     # wrap garbage penetrates (T-1)//2 cells per layer PER AXIS (1 for
     # packed axes where every kernel is 3-tap; k//2 for an unpacked axis,
     # e.g. 2 cells/k=5-layer along H at (1,8)), so each ring must be >=
@@ -273,13 +317,19 @@ def build_pallas_packed_forward(spec: SESRSpec, qp: QuantParams,
             if dot8:
                 # pad cells hold z_eff (not the shifted 0) so the buffer
                 # stays int8-exact; the z_eff*sum(W) correction is
-                # subtracted pre-clamp inside _conv_packed_int8
+                # subtracted pre-clamp inside the conv helper
                 x_in = jnp.where(inside, xq_i, jnp.float32(z_eff))
+            else:
+                x_in = jnp.where(inside, xq_i - jnp.float32(z_eff), 0.0)
+            if tap_dots:
+                y = _conv_packed_tapdots(x_in, w_ref[...], b_ref[...],
+                                         zc_ref[...], hw, ty_i, tx_i,
+                                         dot8)
+            elif dot8:
                 y = _conv_packed_int8(x_in, w_ref[...], b_ref[...],
                                       zc_ref[...], hw, ty_i, tx_i)
             else:
-                x_shift = jnp.where(inside, xq_i - jnp.float32(z_eff), 0.0)
-                y = _conv_packed(x_shift, w_ref[...], b_ref[...], hw,
+                y = _conv_packed(x_in, w_ref[...], b_ref[...], hw,
                                  ty_i, tx_i)
             y = (y * jnp.float32(float(qp.requant_m[i]))) \
                 * jnp.float32(2.0 ** (-qp.requant_n[i]))

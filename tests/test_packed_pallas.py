@@ -64,6 +64,23 @@ def test_packed_pallas_int8_dots_bitexact(task, s):
     np.testing.assert_array_equal(np.asarray(fwd(x)), np.asarray(y_ref))
 
 
+@pytest.mark.parametrize("dot_dtype", ["bf16", "int8"])
+def test_packed_pallas_tap_dots_bitexact(dot_dtype):
+    """The per-tap-dot form (tap_dots=True): no lane-concat im2col, one
+    K=128 dot per tap — must be bit-identical to the concat forms."""
+    spec = spec_for_task("sr_x2")
+    qp = _qp("sr_x2")
+    rng = np.random.default_rng(13)
+    H, W = 40, 72
+    x = jnp.asarray(rng.random((1, H, W, spec.in_channels),
+                               dtype=np.float32))
+    fwd = build_pallas_packed_forward(spec, qp, H, W, s=(1, 8), tile_h=16,
+                                      tile_w=24, dot_dtype=dot_dtype,
+                                      tap_dots=True, interpret=True)
+    y_ref, _ = integer_forward(spec, qp, x, corrected=True, compute="fast")
+    np.testing.assert_array_equal(np.asarray(fwd(x)), np.asarray(y_ref))
+
+
 def test_packed_pallas_batched():
     spec = spec_for_task("sr_x2")
     qp = _qp("sr_x2")
