@@ -241,16 +241,31 @@ def main():
                 spec, c, qp, (2, 4), True, None, "int8")
                 .astype(jnp.float32),
         }
-        hd_vals = {k: [] for k in hd_cands}
         try:
-            for _ in range(3):
-                for name, fn in hd_cands.items():
+            # the fused kernel at its best-known config, interleaved with
+            # the XLA 1080p rows — data for the "useful where HBM binds"
+            # hypothesis from the same session
+            from sesr_tpu.ops.pallas_packed import build_pallas_packed_forward
+            hd_cands["pallas_1x8_int8_1080p"] = build_pallas_packed_forward(
+                spec, qp.qp, 1080, 1920, s=(1, 8), tile_h=56, tile_w=40,
+                dot_dtype="int8")
+        except Exception as e:  # pragma: no cover - probe convenience
+            log(f"bench: pallas 1080p row skipped: {e}")
+        hd_vals = {k: [] for k in hd_cands}
+        hd_dead = set()
+        for _ in range(3):
+            for name, fn in hd_cands.items():
+                if name in hd_dead:
+                    continue
+                try:
                     hd_vals[name].append(measure(fn, x_hd, spec))
-            for name, vals in hd_vals.items():
+                except Exception as e:
+                    log(f"bench: {name}: FAILED {str(e)[:120]}")
+                    hd_dead.add(name)
+        for name, vals in hd_vals.items():
+            if vals:
                 log(f"bench: {name}: {statistics.median(vals):.1f} Mpx/s "
                     f"({[round(v, 1) for v in vals]})")
-        except Exception as e:
-            log(f"bench: 1080p probes: FAILED {str(e)[:120]}")
         # the saturating task's layer-hybrid path (PE-exact on its one
         # saturating layer, fast on the rest) vs all-PE-exact — at the
         # shipped configs: hybrid (1,8) + narrow int8/int16 boundary

@@ -43,9 +43,14 @@ this: concat-bf16 412, concat-int8 454-513, per-tap dots (tap_dots=True,
 NO lane-concat, K=128 MXU-native dots) int8 410 / bf16 312 — dropping
 the concat LOSES (more weight-stationary swaps), so the relayout is the
 rolls themselves, and every roll alternative is a recorded Mosaic wall
-(see below). The kernel stays useful where HBM is the binding constraint
-(larger frames per chip, fatter dtypes) and as the bit-exact Mosaic
-lowering proof of the certified fast datapath.
+(see below). The "useful where HBM binds" hypothesis was tested and
+REFUTED at deployment frame sizes: at 1080p the kernel measured 471 vs
+the XLA path's 626 (f32 out) / 759 (int8 out) in the same process
+(bench.py --all-paths, round-4 self-check) — the XLA path's narrow int8
+boundaries already strip the inter-layer HBM traffic that whole-net VMEM
+fusion saves. The kernel ships as the bit-exact Mosaic lowering proof of
+the certified fast datapath and the recorded map of this toolchain's
+kernel-authoring walls.
 
 Measured Mosaic lowering walls (each an opaque remote-compile HTTP 500
 unless noted): the out block's sublane dim (tile_w) must be 8-divisible
