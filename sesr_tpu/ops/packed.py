@@ -112,8 +112,17 @@ def resolve_cells(mode: str, h_local: int, w_local: int,
     cert_cells: the artifact's stamped geometry set (qp.cert_cells) —
     candidates outside it are skipped for the certificate-gated modes so
     a sharded builder can never silently serve a geometry the artifact's
-    certification never executed. k_max: the largest kernel in the net
-    (5 for the whole SESR zoo)."""
+    certification never executed. An artifact with NO stamped set (saved
+    before cert_cells existed) is REFUSED for the gated modes — the same
+    policy `infer --cells` enforces (cli.py: `cert_set = qp.cert_cells or
+    ()`); re-certify with `python -m sesr_tpu certify`. k_max: the
+    largest kernel in the net (5 for the whole SESR zoo)."""
+    if mode != "pe-exact" and not cert_cells:
+        raise ValueError(
+            f"the {mode!r} lowering is certificate-gated but the artifact "
+            f"carries no cert_cells geometry stamps (pre-geometry-stamp "
+            f"artifact?) — re-certify it (python -m sesr_tpu certify) or "
+            f"serve pe-exact")
     gate = tuple(tuple(c) for c in cert_cells) if cert_cells \
         else CERTIFIED_CELLS
     cands = [default_cells(mode)]

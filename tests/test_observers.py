@@ -202,3 +202,32 @@ def test_cli_calibrate_kl_requires_force(tmp_path):
     assert not os.path.exists(out)
     main(argv + ["--force"])
     assert os.path.exists(out)
+
+
+def test_quantization_fidelity_psnr():
+    """The FP32-fidelity diagnostic (how far the corrected integer path
+    strays from the float model — NOT the observer-guard metric, see its
+    docstring): a fast-certified artifact must sit well above any
+    catastrophic-quantization floor, and the function must agree with a
+    direct recomputation."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sesr_tpu.config import spec_for_task
+    from sesr_tpu.io.torch_import import load_reference_checkpoint
+    from sesr_tpu.models.sesr import forward_float
+    from sesr_tpu.quant.calibrate import quantization_fidelity_psnr
+    from sesr_tpu.quant.integer import integer_forward
+    from sesr_tpu.quant.params import QuantParams
+
+    spec = spec_for_task("nrdm_3")
+    params = load_reference_checkpoint("nrdm_3")
+    qp = QuantParams.load("artifacts/qparams_nrdm_3.npz")
+    rng = np.random.default_rng(4)
+    img = rng.random((1, 32, 48, 3), dtype=np.float32)
+    p = quantization_fidelity_psnr(spec, params, qp, [img])
+    y_f = np.asarray(forward_float(spec, params, jnp.asarray(img)))
+    y_i = np.asarray(integer_forward(spec, qp, jnp.asarray(img),
+                                     corrected=True)[0])
+    expect = -10.0 * np.log10(max(float(np.mean((y_f - y_i) ** 2)), 1e-12))
+    assert abs(p - expect) < 1e-6
+    assert p > 25.0, p

@@ -307,22 +307,33 @@ def test_packed_fast_int8_output_contract():
 def test_resolve_cells_policy():
     """resolve_cells: the measured default when the shard admits it, the
     first certified geometry otherwise, one-cell-halo constraint on
-    sharded axes, cert_cells gate, explicit error when nothing fits."""
-    from sesr_tpu.ops.packed import resolve_cells, FAST_DEFAULT_CELLS
+    sharded axes, cert_cells gate, explicit error when nothing fits, and
+    REFUSAL of unstamped artifacts for the certificate-gated modes (the
+    same policy `infer --cells` enforces — round-4 review finding)."""
+    from sesr_tpu.ops.packed import (resolve_cells, CERTIFIED_CELLS,
+                                     FAST_DEFAULT_CELLS)
 
-    assert resolve_cells("fast", 24, 16) == FAST_DEFAULT_CELLS
-    assert resolve_cells("hybrid", 24, 16) == FAST_DEFAULT_CELLS
+    all_c = CERTIFIED_CELLS
+    assert resolve_cells("fast", 24, 16, all_c) == FAST_DEFAULT_CELLS
+    assert resolve_cells("hybrid", 24, 16, all_c) == FAST_DEFAULT_CELLS
     # W shard not divisible by 8: certified fallback (2,4)
-    assert resolve_cells("fast", 24, 12) == (2, 4)
+    assert resolve_cells("fast", 24, 12, all_c) == (2, 4)
     # H-sharded (2D mesh): s_h=1 cells span +-2 cells under k=5 — beyond
     # the one-cell halo machinery, so the default is skipped
-    assert resolve_cells("fast", 24, 16, h_sharded=True) == (2, 4)
-    # pe-exact keeps its measured default
+    assert resolve_cells("fast", 24, 16, all_c, h_sharded=True) == (2, 4)
+    # pe-exact keeps its measured default and needs no stamps
     assert resolve_cells("pe-exact", 24, 16) == (2, 4)
     # an artifact stamped only for (2,4) must never serve (1,8)
     assert resolve_cells("fast", 24, 16, cert_cells=((2, 4),)) == (2, 4)
     with pytest.raises(ValueError, match="no certified"):
-        resolve_cells("fast", 23, 13)
+        resolve_cells("fast", 23, 13, all_c)
+    # a gated mode with NO stamped geometry set must refuse, exactly like
+    # the CLI (a sharded builder must not silently fall open to the full
+    # CERTIFIED_CELLS the artifact's certification never executed)
+    with pytest.raises(ValueError, match="cert_cells"):
+        resolve_cells("fast", 24, 16)
+    with pytest.raises(ValueError, match="cert_cells"):
+        resolve_cells("hybrid", 24, 16, cert_cells=())
 
 
 @pytest.mark.parametrize("task", ["sr_x2", "nr"])
