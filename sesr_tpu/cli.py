@@ -432,7 +432,10 @@ def cmd_profile(args):
 def cmd_bench(args):
     import subprocess
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    subprocess.run([sys.executable, os.path.join(repo, "bench.py")], check=True)
+    extra = (["--all-paths"] if args.all_paths else []) \
+        + (["--per-task"] if args.per_task else [])
+    subprocess.run([sys.executable, os.path.join(repo, "bench.py")] + extra,
+                   check=True)
 
 
 def main(argv=None):
@@ -550,6 +553,12 @@ def main(argv=None):
     p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser("bench", help="single-chip throughput benchmark")
+    p.add_argument("--all-paths", action="store_true",
+                   help="also measure the alternative lowerings "
+                        "(stderr rows)")
+    p.add_argument("--per-task", action="store_true",
+                   help="also measure every task through its "
+                        "certificate-selected lowering (stderr rows)")
     p.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
