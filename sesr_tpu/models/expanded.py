@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import List, NamedTuple
 
 import jax
+from jax import lax
 import jax.numpy as jnp
 import numpy as np
 
@@ -64,7 +65,9 @@ def forward_expanded(spec: SESRSpec, params: ExpandedParams, x) -> jnp.ndarray:
 
     def block(h, i, residual):
         b = params.blocks[i]
-        y = conv2d_nhwc(conv2d_nhwc(h, b.w_expand), b.w_squeeze, b.b_squeeze)
+        hp = lax.Precision.HIGHEST
+        y = conv2d_nhwc(conv2d_nhwc(h, b.w_expand, precision=hp),
+                        b.w_squeeze, b.b_squeeze, precision=hp)
         if residual:
             y = y + h
         return y

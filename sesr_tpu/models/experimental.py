@@ -24,6 +24,10 @@ from typing import List, NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
+
+# float-semantics convs must not run as bf16 MXU passes on TPU (ops/conv.py)
+_HP = lax.Precision.HIGHEST
 import numpy as np
 
 from sesr_tpu.config import SESRSpec
@@ -74,21 +78,22 @@ class SplitSESRParams(NamedTuple):
 def forward_split(spec: SESRSpec, params: SplitSESRParams, x,
                   tiny_channels: int = 8):
     """split_sesr forward (sesr_arch.py:155-168)."""
-    firsts = [jax.nn.relu(conv2d_nhwc(x, w, b))
+    firsts = [jax.nn.relu(conv2d_nhwc(x, w, b, precision=_HP))
               for (w, b) in zip(params.first.weights, params.first.biases)] \
         if isinstance(params.first, CollapsedParams) else [
-            jax.nn.relu(conv2d_nhwc(x, p.weights[0], p.biases[0]))
+            jax.nn.relu(conv2d_nhwc(x, p.weights[0], p.biases[0],
+                                    precision=_HP))
             for p in params.first]
     h = jnp.concatenate(firsts, axis=-1)
     c0 = h
     for w, b in zip(params.trunk.weights, params.trunk.biases):
-        h = jax.nn.relu(conv2d_nhwc(h, w, b))
+        h = jax.nn.relu(conv2d_nhwc(h, w, b, precision=_HP))
     h = h + c0
     t = tiny_channels
     slices = [h[..., :t], h[..., t:t + t // 2], h[..., t + t // 2:]]
     y = None
     for sl, p in zip(slices, params.last):
-        o = conv2d_nhwc(sl, p.weights[0], p.biases[0])
+        o = conv2d_nhwc(sl, p.weights[0], p.biases[0], precision=_HP)
         y = o if y is None else y + o
     return pixel_shuffle_nhwc(y, spec.scaling_factor)
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import List, NamedTuple
 
 import jax
+from jax import lax
 import jax.numpy as jnp
 import numpy as np
 
@@ -71,11 +72,13 @@ def forward_float(spec: SESRSpec, params: CollapsedParams, x: jnp.ndarray,
         w, b = params.weights[i], params.biases[i]
         if isinstance(halo_axis, tuple):
             h = halo_exchange_2d(h, w.shape[0] // 2, *halo_axis)
-            return conv2d_nhwc(h, w, b, w_valid=True, h_valid=True)
+            return conv2d_nhwc(h, w, b, w_valid=True, h_valid=True,
+                                precision=lax.Precision.HIGHEST)
         if halo_axis is not None:
             h = halo_exchange_w(h, w.shape[0] // 2, halo_axis)
-            return conv2d_nhwc(h, w, b, w_valid=True)
-        return conv2d_nhwc(h, w, b)
+            return conv2d_nhwc(h, w, b, w_valid=True,
+                               precision=lax.Precision.HIGHEST)
+        return conv2d_nhwc(h, w, b, precision=lax.Precision.HIGHEST)
 
     n_convs = params.num_convs
     h = jax.nn.relu(conv(x, 0))

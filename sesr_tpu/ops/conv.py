@@ -16,7 +16,8 @@ _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 
 
 def conv2d_nhwc(x, w_hwio, bias=None, *, preferred_element_type=None,
-                w_valid: bool = False, h_valid: bool = False):
+                w_valid: bool = False, h_valid: bool = False,
+                precision=None):
     """Stride-1 2D convolution, NHWC x HWIO -> NHWC; SAME-padded.
 
     All reference convs are stride 1 with padding k//2 (models/sesr.py:14-31).
@@ -28,6 +29,15 @@ def conv2d_nhwc(x, w_hwio, bias=None, *, preferred_element_type=None,
     halo of neighbour columns/rows instead of zero padding
     (parallel/tiling.py). The output is then ``k//2`` narrower on each side
     of the valid axis.
+
+    ``precision``: FLOAT-SEMANTICS call sites (the float forward, the
+    fake-quant calibration/QAT paths — anything whose operands are general
+    f32, not int8-valued) must pass ``lax.Precision.HIGHEST``: on the TPU
+    backend a default-precision f32 conv runs as bf16 MXU passes, which is
+    exact for int8-valued data but silently drifts general floats — a
+    calibration run on-TPU would otherwise produce different scales/zeros
+    than the CPU/reference run (round-4 review finding). Integer-path
+    callers feed bf16/int32 operands deliberately and leave this None.
     """
     k = w_hwio.shape[0]
     pad = k // 2
@@ -40,6 +50,7 @@ def conv2d_nhwc(x, w_hwio, bias=None, *, preferred_element_type=None,
         padding=[h_pad, w_pad],
         dimension_numbers=_DIMNUMS,
         preferred_element_type=preferred_element_type,
+        precision=precision,
     )
     if bias is not None:
         y = y + bias

@@ -32,6 +32,7 @@ import functools
 from typing import List, Optional, Sequence, Tuple
 
 import jax
+from jax import lax
 import jax.numpy as jnp
 import numpy as np
 
@@ -95,14 +96,16 @@ def _fq_conv_layer(x_fq, w_fq, bias_f, scale, zero, w_scale: float,
     if exact_pe:
         parts = []
         for w_p in _pe_partial_weights(w_fq, hw.pe):
-            y_p = conv2d_nhwc(x_fq, w_p, w_valid=w_valid)
+            y_p = conv2d_nhwc(x_fq, w_p, w_valid=w_valid,
+                              precision=lax.Precision.HIGHEST)
             y_p = jnp.clip(y_p, (acc_lo - zero) * s_eff, (acc_hi - zero) * s_eff)
             parts.append(y_p)
         y = parts[0]
         for y_p in parts[1:]:
             y = y + y_p
     else:
-        y = conv2d_nhwc(x_fq, w_fq, w_valid=w_valid)
+        y = conv2d_nhwc(x_fq, w_fq, w_valid=w_valid,
+                        precision=lax.Precision.HIGHEST)
     y = jnp.clip(y, (add_lo - zero) * s_eff, (add_hi - zero) * s_eff)
 
     # quantize-dequantize bias at scale s_a * s_w (quan_func.py:391-416)

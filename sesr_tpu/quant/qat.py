@@ -29,6 +29,7 @@ import functools
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax
+from jax import lax
 import jax.numpy as jnp
 import numpy as np
 
@@ -243,7 +244,7 @@ def _quant_conv(cfg, cstate: ConvQuantState, x, w_hwio, bias, training):
             wstate.max_val.reshape(1, 1, 1, -1),
             wstate.num_flag)
     w_fq = fake_quant(w_hwio, w_scale_state, cfg.w_bits, 0, is_weight=True)
-    y = conv2d_nhwc(x_fq, w_fq, bias)
+    y = conv2d_nhwc(x_fq, w_fq, bias, precision=lax.Precision.HIGHEST)
     return y, ConvQuantState(astate, wstate)
 
 
