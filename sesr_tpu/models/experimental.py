@@ -24,15 +24,15 @@ from typing import List, NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax
-
-# float-semantics convs must not run as bf16 MXU passes on TPU (ops/conv.py)
-_HP = lax.Precision.HIGHEST
 import numpy as np
+from jax import lax
 
 from sesr_tpu.config import SESRSpec
 from sesr_tpu.models.sesr import CollapsedParams, forward_float
 from sesr_tpu.ops.conv import conv2d_nhwc, pixel_shuffle_nhwc
+
+# float-semantics convs must not run as bf16 MXU passes on TPU (ops/conv.py)
+_HP = lax.Precision.HIGHEST
 
 
 class InceptionSESRParams(NamedTuple):
@@ -48,9 +48,10 @@ def inception_path_spec(base: SESRSpec, widths=(8, 12, 16)):
 
 
 def forward_inception(base: SESRSpec, params: InceptionSESRParams, x,
-                      single_path: int = 0):
-    """single_path=0: sum all paths (sesr_arch.py:95-97); otherwise use path
-    single_path-1 only (:89-94)."""
+                      single_path: bool = False, conv_scale: int = 3):
+    """single_path falsy: sum all paths (sesr_arch.py:95-97); single_path
+    truthy: emit only path `conv_scale` (1-based path selector, matching the
+    reference's `conv_scale==1/2/3` chain at sesr_arch.py:14,89-94)."""
     specs = inception_path_spec(base)[: len(params.paths)]
     # run each path WITHOUT its own pixel shuffle; sum pre-shuffle
     outs = []
@@ -61,7 +62,10 @@ def forward_inception(base: SESRSpec, params: InceptionSESRParams, x,
                        num_lblocks=spec.num_lblocks, scaling_factor=1)
         outs.append(forward_float(pre, p, x))
     if single_path:
-        y = outs[single_path - 1]
+        if not 1 <= conv_scale <= len(outs):
+            raise ValueError(f"conv_scale must be 1..{len(outs)}, "
+                             f"got {conv_scale}")
+        y = outs[conv_scale - 1]
     else:
         y = outs[0]
         for o in outs[1:]:
@@ -112,6 +116,9 @@ def anchor_weights(in_channels: int, scaling_factor: int):
 def anchor_upsample(x, scaling_factor: int):
     """nearest-upsample via the anchor conv + pixel shuffle (the conv-only
     formulation the reference uses so the op can ride the quantized conv
-    datapath)."""
+    datapath). precision=HIGHEST: on TPU a default-precision f32 conv runs
+    as a bf16 MXU pass, which would round general-f32 activations even
+    though the 0/1 selector weights are exact."""
     w = anchor_weights(x.shape[-1], scaling_factor)
-    return pixel_shuffle_nhwc(conv2d_nhwc(x, w), scaling_factor)
+    return pixel_shuffle_nhwc(conv2d_nhwc(x, w, precision=_HP),
+                              scaling_factor)

@@ -122,6 +122,14 @@ def _packed_layer_consts(spec: SESRSpec, qp: QuantParams, s,
         fused = np.clip(np.asarray(qp.bias_int[i]), -hi - 1, hi)
         cells = cpo // fused.shape[0]
         z_eff = float(qp.effective_zero(i))
+        if dot_dtype == "int8":
+            # the int8 form stores z_eff in the pad cells of an int8 buffer;
+            # effective_zero floors at -128 but has no upper bound, so a
+            # z_eff > 127 artifact would silently wrap there while the bf16
+            # form stays correct — refuse instead of diverging.
+            assert -128 <= z_eff <= 127, (
+                f"layer {i}: effective zero {z_eff} does not fit int8; "
+                "use dot_dtype='bf16' for this artifact")
         zc = np.asarray(np.round(z_eff * wp.sum(axis=(0, 1, 2))), np.int64)
         assert np.abs(zc).max() < 2 ** 31, zc
         consts.append((jnp.asarray(w_cat, w_dt),

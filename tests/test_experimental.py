@@ -33,9 +33,17 @@ def test_inception_forward(rng):
     x = jnp.asarray(rng.random((1, 12, 16, 1), dtype=np.float32))
     y = forward_inception(base, params, x)
     assert y.shape == (1, 48, 64, 1)
-    y1 = forward_inception(base, params, x, single_path=2)
-    assert y1.shape == y.shape
-    assert not np.allclose(np.asarray(y), np.asarray(y1))
+    # single_path + conv_scale selects one path (sesr_arch.py:89-94)
+    singles = [forward_inception(base, params, x, single_path=True,
+                                 conv_scale=cs) for cs in (1, 2, 3)]
+    for y1 in singles:
+        assert y1.shape == y.shape
+        assert not np.allclose(np.asarray(y), np.asarray(y1))
+    # the sum of the three selected paths is the default output
+    np.testing.assert_allclose(np.asarray(singles[0] + singles[1] + singles[2]),
+                               np.asarray(y), rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError):
+        forward_inception(base, params, x, single_path=True, conv_scale=4)
 
 
 def test_split_forward(rng):

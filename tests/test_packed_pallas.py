@@ -101,6 +101,23 @@ def test_packed_pallas_refuses_uncertified():
         build_pallas_packed_forward(spec, qp, 32, 48)
 
 
+def test_packed_pallas_int8_refuses_wide_zero():
+    """dot_dtype='int8' stores z_eff in the pads of an int8 buffer;
+    effective_zero has no upper bound, so an artifact with a_zero > 127
+    must be refused rather than silently wrapped (round-5 guard)."""
+    import dataclasses
+    spec = spec_for_task("sr_x2")
+    qp = _qp("sr_x2")
+    az = list(qp.a_zero)
+    az[1] = 200
+    bad = dataclasses.replace(qp, a_zero=az)
+    with pytest.raises(AssertionError, match="does not fit int8"):
+        build_pallas_packed_forward(spec, bad, 32, 48, dot_dtype="int8",
+                                    interpret=True)
+    # the bf16 form stays exact for the same artifact and must not refuse
+    build_pallas_packed_forward(spec, bad, 32, 48, interpret=True)
+
+
 def test_packed_pallas_ring_param():
     """A ring larger than the default must stay bit-exact (the ring only
     needs to be >= L; Mosaic's lowering rules force g to multiples of 4,
