@@ -285,6 +285,12 @@ def cmd_infer(args):
             f"the '{mode}' lowering; use one of those, re-certify "
             f"(python -m sesr_tpu certify --out), or use a PE-exact "
             f"artifact")
+    if args.out_dtype is None:
+        # int8 is the output contract where it is free: PNG output is 8-bit
+        # regardless (and the reference's own output domain is int8,
+        # test.py:205-217), so --save-dir skips the full-resolution f32
+        # HBM write by default; array consumers keep f32 unless asked
+        args.out_dtype = "int8" if args.save_dir else "f32"
     data = list(_dataset(args.task, args))
     zero_L = float(qp.a_zero[spec.num_convs])
     scale_L = float(qp.a_scale[spec.num_convs])
@@ -513,10 +519,12 @@ def main(argv=None):
                    help="packing cell size s_h x s_w (default: 1x8 for the "
                         "certified fast/hybrid lowerings, 2x4 for pe-exact "
                         "— the measured winners, ops/packed.py)")
-    p.add_argument("--out-dtype", default="f32", choices=["f32", "int8"],
+    p.add_argument("--out-dtype", default=None, choices=["f32", "int8"],
                    help="int8 = the raw quantized image contract (skips "
                         "the full-resolution f32 write; +12-29%% at "
-                        "1080p/4K); scoring dequantizes client-side")
+                        "1080p/4K); scoring dequantizes client-side. "
+                        "Default: int8 when --save-dir is set (PNGs are "
+                        "8-bit regardless), f32 otherwise")
     p.add_argument("--batch", type=int, default=1,
                    help="frames per dispatch — the throughput serving "
                         "mode (batch 8 measured above single-frame rate "

@@ -41,6 +41,31 @@ def test_cli_infer(capsys):
 
 
 @needs_artifact
+def test_cli_infer_save_dir_defaults_int8(tmp_path, capsys):
+    """--save-dir flips the default output contract to int8 (round 5: the
+    PNG is 8-bit regardless, so the f32 full-res write buys nothing —
+    VERDICT r4 item 6). The PNGs must be identical to the explicit-f32
+    run's: the int8 contract dequantizes losslessly client-side."""
+    d8 = tmp_path / "png8"
+    df = tmp_path / "pngf"
+    main(["infer", "--task", "sr_x2", "--qparams", QP_SR_X2,
+          "--n-images", "1", "--save-dir", str(d8)])
+    out8 = capsys.readouterr().out
+    assert "packed(1x8, fast, int8)" in out8
+    main(["infer", "--task", "sr_x2", "--qparams", QP_SR_X2,
+          "--n-images", "1", "--save-dir", str(df), "--out-dtype", "f32"])
+    outf = capsys.readouterr().out
+    assert "packed(1x8, fast)" in outf
+    from PIL import Image
+    a = np.asarray(Image.open(d8 / "out_0000.png"))
+    b = np.asarray(Image.open(df / "out_0000.png"))
+    np.testing.assert_array_equal(a, b)
+    # and identical scores
+    assert (out8.split("mean psnr:")[1].splitlines()[0]
+            == outf.split("mean psnr:")[1].splitlines()[0])
+
+
+@needs_artifact
 def test_cli_infer_legacy_artifact_cells_gate(tmp_path, capsys):
     """An artifact stamped before (1,8) entered CERTIFIED_CELLS records
     only the legacy geometry set: the CLI's default must fall back to its

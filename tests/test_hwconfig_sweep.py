@@ -1,0 +1,310 @@
+"""The framework off the reference's hardware config point (round-5 verdict
+item 5).
+
+`HardwareConfig` parameterizes the PE count and all five datapath bit
+widths, and every proof/lowering consumes it symbolically — but until this
+module every test ran at the reference's single point (define.py:5-14:
+PE=4, 8/16/18/20-bit, requant 16x2^-32). These tests exercise the family
+the dataclass advertises:
+
+- an independent pure-numpy executable spec of the (uncorrected) ASIC
+  datapath, checked bit-exactly against the int32 interpreter at alternate
+  configs (PE in {2, 8}, accumulators 16/20, adder 18/22, bias 12,
+  requant 12x2^-24);
+- bf16-vs-int32 lowering equality at those configs (the range analysis in
+  quant/integer.py is width-independent as long as partial sums stay under
+  2^24 — true for every config here by the adder clamp);
+- static-proof soundness and tightness at a narrow (16-bit) accumulator:
+  layers the interval analysis refuses at 16 bits must be realizable, and
+  layers it proves must survive the adversarial input;
+- certification + fast/hybrid/packed serving at alternate configs through
+  certify_fast's own equality obligations;
+- the requant encoder's round-trip contract at narrow mantissas.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from sesr_tpu.config import HardwareConfig, SESRSpec
+from sesr_tpu.models.sesr import CollapsedParams, init_params
+from sesr_tpu.ops.fixedpoint import encode_requant
+from sesr_tpu.quant.calibrate import calibrate
+from sesr_tpu.quant.certify import (adversarial_input_for_layer,
+                                    certify_fast, static_layer_stamps)
+from sesr_tpu.quant.integer import integer_forward, _pe_weight_masks
+from sesr_tpu.quant.params import QuantParams
+
+# a small nrdm-family net (no pixel shuffle) so the sweep stays fast on CPU
+SPEC = SESRSpec("sweep", in_channels=3, out_channels=3, num_channels=8,
+                num_lblocks=2)
+
+ALT_CONFIGS = [
+    # narrow everything: 2 PEs, 16-bit accumulator, 18-bit adder, 12-bit
+    # bias, 12-bit requant mantissa with max shift 24. NOTE a 16-bit
+    # accumulator under 8-bit weights/activations is genuinely tight — a
+    # single worst-case MAC is 127*255 = 32385 of the ±32768 range — so
+    # random nets SATURATE here; this config exercises the refusal/hybrid
+    # arm, not the certified-fast arm.
+    HardwareConfig(pe=2, pe_acc_bits=16, pe_add_bits=18, bias_bits=12,
+                   requant_bits=12, requant_n_max=24),
+    # wide: 8 PEs, 20/22-bit accumulators
+    HardwareConfig(pe=8, pe_acc_bits=20, pe_add_bits=22),
+]
+
+# alternate-but-servable: 2 PEs with the standard accumulators and narrow
+# bias/requant encodings — the config the certified-fast tests sweep
+PE2_SERVABLE = HardwareConfig(pe=2, bias_bits=12, requant_bits=12,
+                              requant_n_max=24)
+
+
+def _images(n=2, hw=(24, 32), seed=3):
+    rng = np.random.default_rng(seed)
+    return [rng.random((1, *hw, SPEC.in_channels), dtype=np.float32)
+            for _ in range(n)]
+
+
+def _params(scale=1.0, seed=0):
+    p = init_params(SPEC, jax.random.PRNGKey(seed))
+    return CollapsedParams([w * scale for w in p.weights],
+                           [b for b in p.biases])
+
+
+def _params_sparse(keep=0.1, seed=0):
+    """A certifiable-at-narrow-PE net: per-tensor int8 quantization pins the
+    absmax tap at 127 regardless of float scale, so DENSE random weights
+    saturate narrow accumulators (sum|w_int| ~ taps*40). Trained SESR
+    weights are peaky — a few large taps over a small-magnitude field —
+    which is what lets the real artifacts certify; emulate that by keeping
+    only the top `keep` fraction of each tensor's taps."""
+    p = init_params(SPEC, jax.random.PRNGKey(seed))
+    ws = []
+    for w in p.weights:
+        a = np.asarray(w)
+        thr = np.quantile(np.abs(a), 1.0 - keep)
+        ws.append(jnp.asarray(a * (np.abs(a) >= thr)))
+    return CollapsedParams(ws, list(p.biases))
+
+
+# ---------------------------------------------------------------------------
+# independent numpy executable spec of the uncorrected datapath
+# ---------------------------------------------------------------------------
+
+def _np_conv_same(x, w):
+    """stride-1 SAME conv, int64 numpy (independent of ops/conv.py)."""
+    k = w.shape[0]
+    pad = k // 2
+    xp = np.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    n, h, wd, _ = x.shape
+    y = np.zeros((n, h, wd, w.shape[3]), np.int64)
+    for dh in range(k):
+        for dw in range(k):
+            y += np.einsum("nhwc,co->nhwo",
+                           xp[:, dh:dh + h, dw:dw + wd, :],
+                           w[dh, dw].astype(np.int64))
+    return y
+
+
+def _np_sat(x, bits):
+    return np.clip(x, -(1 << (bits - 1)), (1 << (bits - 1)) - 1)
+
+
+def _np_requant_f32(x, m, n):
+    y = x.astype(np.float32) * np.float32(m)
+    return y * np.float32(2.0 ** (-n))
+
+
+def numpy_integer_forward(spec, qp, x):
+    """Pure-numpy spec of the UNcorrected reference datapath (SURVEY §2.1
+    semantics, parameterized by qp.hw): PE round-robin split, per-PE zero
+    restoration + acc-bit clamp, PE-sum adder clamp, fused
+    clamp(bias - zero*sumW) at bias_bits, requant in float32, integer
+    residual add at the last conv. Written against the REFERENCE semantics
+    (quan_func.py), not against quant/integer.py's code."""
+    hw = qp.hw
+    L = spec.num_convs
+    qmin = -(1 << (hw.quan_bits - 1))
+    qmax = (1 << (hw.quan_bits - 1)) - 1
+    h = np.asarray(x, np.float32)
+    shortcut = None
+    for i in range(L):
+        zero = qp.a_zero[i]
+        if i == 0:
+            xq = np.clip(np.round(h / np.float32(qp.a_scale[0])
+                                  + np.float32(zero)), qmin, qmax)
+        elif i == L - 1:
+            half = float(1 << (hw.quan_bits - 1))
+            res_c = np.clip(np.round(shortcut - half), qmin, qmax)
+            in_c = np.clip(np.round(h - half), qmin, qmax)
+            t = res_c + in_c + 2.0 * half
+            t = _np_requant_f32(t, qp.res_requant_m, qp.res_requant_n)
+            xq = np.clip(np.round(t + np.float32(zero)), qmin, qmax)
+        else:
+            xq = np.clip(np.round(h + np.float32(zero)), qmin, qmax)
+        z_eff = qp.effective_zero(i)
+        xs = (xq - np.float32(z_eff)).astype(np.int64)
+        w = np.asarray(qp.w_int[i], np.int64)
+        ic = w.shape[2]
+        total = None
+        for p in range(hw.pe):
+            w_p = w * (np.arange(ic) % hw.pe == p)[None, None, :, None]
+            y_p = _np_conv_same(xs, w_p)
+            y_p = y_p + z_eff * w_p.sum(axis=(0, 1, 2))
+            y_p = _np_sat(y_p, hw.pe_acc_bits)
+            total = y_p if total is None else total + y_p
+        pe_add = _np_sat(total, hw.pe_add_bits)
+        fused = _np_sat(np.asarray(qp.bias_int[i], np.int64)
+                        - zero * w.sum(axis=(0, 1, 2)), hw.bias_bits)
+        y = pe_add + fused
+        h = _np_requant_f32(y, qp.requant_m[i], qp.requant_n[i])
+        if i == 0:
+            shortcut = np.maximum(h, 0.0)
+        if i == L - 1:
+            zero_L, scale_L = qp.a_zero[L], qp.a_scale[L]
+            yq = np.clip(np.round(h + np.float32(zero_L)), qmin, qmax)
+            h = (yq - np.float32(zero_L)) * np.float32(scale_L)
+        else:
+            h = np.maximum(h, 0.0)
+    return h
+
+
+@pytest.mark.parametrize("hw", ALT_CONFIGS, ids=["pe2_narrow", "pe8_wide"])
+def test_interpreter_matches_numpy_spec_alt_config(hw):
+    """integer_forward (int32 lowering, uncorrected) is bit-exact against
+    the independent numpy spec at both alternate configs."""
+    params = _params()
+    images = _images()
+    qp = calibrate(SPEC, params, images, hw=hw, safe_zero_floor=True)
+    assert qp.hw == hw
+    for img in images:
+        y_ref = numpy_integer_forward(SPEC, qp, img)
+        y, _ = integer_forward(SPEC, qp, jnp.asarray(img), compute="int32")
+        np.testing.assert_array_equal(np.asarray(y), y_ref.astype(np.float32))
+
+
+@pytest.mark.parametrize("hw", ALT_CONFIGS, ids=["pe2_narrow", "pe8_wide"])
+def test_bf16_lowering_exact_alt_config(hw):
+    """The bf16 MXU lowering's range analysis holds at every config whose
+    adder clamp keeps partial sums under 2^24 — both alternates qualify."""
+    params = _params()
+    images = _images(seed=11)
+    qp = calibrate(SPEC, params, images, hw=hw, safe_zero_floor=True)
+    for img in images:
+        y32, _ = integer_forward(SPEC, qp, jnp.asarray(img), compute="int32")
+        yb, _ = integer_forward(SPEC, qp, jnp.asarray(img), compute="bf16")
+        np.testing.assert_array_equal(np.asarray(y32), np.asarray(yb))
+
+
+def test_static_proof_sound_and_tight_at_16bit_acc():
+    """At a 16-bit accumulator the interval analysis must refuse layers a
+    big-weight net can actually saturate (tightness: the adversarial input
+    realizes an event) while layers it still proves survive that same
+    adversarial construction (soundness)."""
+    from sesr_tpu.ops.fixedpoint import saturate
+    from sesr_tpu.quant.strict import strict_vs_fast_divergence
+    from sesr_tpu.ops.conv import conv2d_nhwc
+
+    hw = ALT_CONFIGS[0]
+    params = _params(scale=4.0)            # drive accumulations up
+    qp = calibrate(SPEC, params, _images(), hw=hw, safe_zero_floor=True)
+    static = static_layer_stamps(qp)
+    refused = [i for i, s in enumerate(static) if not s]
+    assert refused, "16-bit accumulator with 4x weights should refuse layers"
+    fired = False
+    for i in refused:
+        x_shift, (p, _o, _sign) = adversarial_input_for_layer(qp, i)
+        w_p = _pe_weight_masks(np.asarray(qp.w_int[i]), hw.pe)[p]
+        y = conv2d_nhwc(jnp.asarray(x_shift, jnp.int32),
+                        jnp.asarray(w_p, jnp.int32),
+                        preferred_element_type=jnp.int32)
+        if not bool(jnp.all(saturate(y, hw.pe_acc_bits) == y)):
+            fired = True
+    assert fired, "no refused layer realized a 16-bit saturation event"
+    for i, s in enumerate(static):
+        if not s:
+            continue
+        x_shift, _meta = adversarial_input_for_layer(qp, i)
+        for w_p in _pe_weight_masks(np.asarray(qp.w_int[i]), hw.pe):
+            assert strict_vs_fast_divergence(x_shift, w_p, hw) == 0
+
+
+@pytest.mark.parametrize("hw", [PE2_SERVABLE, ALT_CONFIGS[1]],
+                         ids=["pe2_servable", "pe8_wide"])
+def test_certify_and_serve_alt_config(hw):
+    """certify_fast's whole-artifact equality obligations (fast interpreter
+    + every packed geometry, narrow stores included) run at alternate
+    configs; a certified artifact serves fast == PE-exact there."""
+    params = _params_sparse()
+    images = _images(hw=(24, 32), seed=5)
+    qp = calibrate(SPEC, params, images, hw=hw, safe_zero_floor=True)
+    qp = certify_fast(SPEC, qp, images)
+    assert qp.fast_cert_ok, (
+        f"small-weight net should certify at {hw}: stamps {qp.cert_stamps}")
+    y_fast, _ = integer_forward(SPEC, qp, jnp.asarray(images[0]),
+                                corrected=True, compute="fast")
+    y_exact, _ = integer_forward(SPEC, qp, jnp.asarray(images[0]),
+                                 corrected=True)
+    np.testing.assert_array_equal(np.asarray(y_fast), np.asarray(y_exact))
+
+
+def test_saturating_net_never_refused_at_16bit_acc():
+    """A net that saturates the narrow accumulator must come back refused
+    for fast mode and still SERVE bit-exactly through the certificate-
+    selected lowering (hybrid or PE-exact) — the refusal/fallback machinery
+    is config-generic, not a PE=4/18-bit special."""
+    from sesr_tpu.ops.packed import select_packed_forward
+
+    hw = ALT_CONFIGS[0]
+    params = _params(scale=4.0)
+    images = _images(seed=7)
+    qp = calibrate(SPEC, params, images, hw=hw, safe_zero_floor=True)
+    qp = certify_fast(SPEC, qp, images)
+    assert not qp.fast_cert_ok
+    mode, fwd = select_packed_forward(qp)
+    assert mode in ("hybrid", "pe-exact")
+    y = fwd(SPEC, qp, jnp.asarray(images[0]), s=(2, 4))
+    y_exact, _ = integer_forward(SPEC, qp, jnp.asarray(images[0]),
+                                 corrected=True)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_exact))
+
+
+@pytest.mark.parametrize("data_bits,shift_max", [(12, 24), (16, 32), (8, 16)])
+def test_requant_encoder_roundtrip_alt_widths(data_bits, shift_max):
+    """encode_requant's contract at narrow mantissas: for unclamped values
+    the (m, n) round-trip is within 2^(1-data_bits) relative error and the
+    mantissa fits data_bits bits for values < 1; the shift clamp engages
+    exactly for values below 2^(data_bits - shift_max - 1)-ish and then the
+    mantissa is the truncation at n = shift_max."""
+    vals = np.concatenate([
+        np.logspace(-6, 3, 40), [1.0, 0.5, 2.0 ** -10, 1234.5678]])
+    for v in vals:
+        m, n = encode_requant(float(v), data_bits, shift_max)
+        assert n <= shift_max
+        if v < 1.0:
+            assert m < (1 << data_bits), (v, m, n)
+        if n < shift_max or v >= 1.0:
+            rel = abs(m * 2.0 ** (-n) - v) / v
+            assert rel <= 2.0 ** (1 - data_bits), (v, m, n, rel)
+        else:
+            assert m == int(v * 2.0 ** shift_max), (v, m, n)
+
+
+@pytest.mark.parametrize("hw", ALT_CONFIGS, ids=["pe2_narrow", "pe8_wide"])
+def test_artifact_roundtrip_preserves_alt_config(hw):
+    """An alternate-config artifact survives npz serialization with its
+    HardwareConfig intact (quant/params.py save/load)."""
+    params = _params()
+    qp = calibrate(SPEC, params, _images(n=1), hw=hw, safe_zero_floor=True)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "qp.npz")
+        qp.save(p)
+        qp2 = QuantParams.load(p)
+    assert qp2.hw == hw
+    img = _images(n=1, seed=9)[0]
+    y1, _ = integer_forward(SPEC, qp, jnp.asarray(img))
+    y2, _ = integer_forward(SPEC, qp2, jnp.asarray(img))
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
