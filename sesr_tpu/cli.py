@@ -294,8 +294,24 @@ def cmd_infer(args):
     data = list(_dataset(args.task, args))
     zero_L = float(qp.a_zero[spec.num_convs])
     scale_L = float(qp.a_scale[spec.num_convs])
+    # --audit N: every Nth dispatch shadow-runs the sound PE-exact
+    # interpreter with the overflow counters (quant/audit.py); an 18-bit
+    # event on an empirically-stamped layer (the OOD case the stamps
+    # cannot cover) warns and degrades the rest of the run to the
+    # PE-exact lowering — the reference's always-on sentinel
+    # (quan_func.py:357-361), productized for a datapath that
+    # structurally lacks it
+    audit_trusted = ()
+    if args.audit > 0:
+        from sesr_tpu.quant.audit import empirically_trusted_layers
+        audit_trusted = empirically_trusted_layers(qp, mode)
+        if not audit_trusted:
+            print(f"audit: '{mode}' serving of this artifact carries no "
+                  "empirical trust (statically proven or PE-exact) — "
+                  "nothing to audit", file=sys.stderr)
+    n_audited = n_viol = 0
     tot_p = tot_s = n = 0
-    i = 0
+    i = dispatch = 0
     while i < len(data):
         # --batch B: per-chip frame batching, the THROUGHPUT serving mode
         # (r3i/r4: batch-8 beats single-frame at the (1,8) default); equal
@@ -306,6 +322,28 @@ def cmd_infer(args):
             batch.append(data[i + len(batch)])
         x = jnp.asarray(np.concatenate([b[0] for b in batch], axis=0))
         y = np.asarray(fwd(spec, qp, x, s=s, out_dtype=args.out_dtype))
+        if audit_trusted and dispatch % args.audit == 0:
+            from sesr_tpu.quant.audit import audit_frame
+            res = audit_frame(spec, qp, x,
+                              y_served=y if args.out_dtype == "f32" else None,
+                              mode=mode, warn=False)
+            n_audited += 1
+            if not res.ok:
+                n_viol += 1
+                print(f"audit: OOD saturation on dispatch {dispatch} — "
+                      f"empirically-stamped layer(s) {list(res.violations)} "
+                      f"fired 18-bit events (counts {res.ovf18.tolist()}); "
+                      f"degrading to pe-exact serving", file=sys.stderr)
+                from sesr_tpu.ops.packed import packed_exact_forward
+
+                def fwd(spec, qp, x, s=(2, 4), out_dtype="f32"):  # noqa: F811
+                    return packed_exact_forward(spec, qp, x, s,
+                                                corrected=True,
+                                                out_dtype=out_dtype)
+                mode = "pe-exact"
+                audit_trusted = ()
+                y = np.asarray(fwd(spec, qp, x, s=s,
+                                   out_dtype=args.out_dtype))
         if args.out_dtype == "int8":
             # the int8 output contract: the raw quantized image; the
             # scoring/PNG consumer dequantizes with (zero_L, scale_L)
@@ -318,10 +356,15 @@ def cmd_infer(args):
                                              f"out_{n:04d}.png"))
             tot_p, tot_s, n = tot_p + p, tot_s + ss, n + 1
         i += len(batch)
+        dispatch += 1
     print(f"{args.task} packed({args.cells}, {mode}"
           f"{', ' + args.out_dtype if args.out_dtype != 'f32' else ''}"
           f"{f', batch {args.batch}' if args.batch > 1 else ''}) "
           f"mean psnr: {tot_p/n:.4f}  ssim: {tot_s/n:.4f}  ({n} images)")
+    if args.audit > 0:
+        print(f"audit: {n_audited} dispatch(es) audited, {n_viol} OOD "
+              f"saturation violation(s)"
+              + (" — stream degraded to pe-exact" if n_viol else ""))
     if args.save_dir:
         print(f"outputs -> {args.save_dir}/")
 
@@ -531,6 +574,11 @@ def main(argv=None):
                         "at the (1,8) default); batch 1 = latency mode")
     p.add_argument("--save-dir", default=None,
                    help="write the model outputs as PNGs here")
+    p.add_argument("--audit", type=int, default=0,
+                   help="shadow-audit every Nth dispatch against the sound "
+                        "PE-exact path (overflow counters): detects OOD "
+                        "inputs that void empirical certificate stamps and "
+                        "degrades serving to pe-exact (0 = off)")
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("certify", help="fast-mode certification stamps "

@@ -86,7 +86,7 @@ def multihost_integer_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
 
 
 def multihost_packed_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
-                             s=None, out_dtype="f32"):
+                             s=None, out_dtype="f32", force_mode=None):
     """The DEPLOYMENT (channel-packed) datapath at pod scale: frames over
     (host, dp), W over sp with one-cell ICI halos. Picks the fastest sound
     lowering the artifact's certificate allows — fast when fully
@@ -94,10 +94,28 @@ def multihost_packed_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
     PE-exact otherwise (always sound, never refuses). s=None resolves the
     measured default_cells geometry against the local shard shape
     (ops/packed.py resolve_cells; certified fallback when it doesn't
-    divide); out_dtype="int8" serves the raw quantized image."""
-    from sesr_tpu.ops.packed import resolve_cells, select_packed_forward
+    divide); out_dtype="int8" serves the raw quantized image.
 
-    mode, fwd = select_packed_forward(qp)
+    force_mode="pe-exact" overrides the certificate selection with the
+    unconditionally-sound lowering — the degraded mode the OOD saturation
+    audit (quant/audit.py) falls back to. Only the sound override is
+    allowed: forcing a FASTER mode than the certificate grants would
+    bypass the stamps."""
+    from sesr_tpu.ops.packed import (packed_exact_forward, resolve_cells,
+                                     select_packed_forward)
+
+    if force_mode is None:
+        mode, fwd = select_packed_forward(qp)
+    elif force_mode == "pe-exact":
+        mode = "pe-exact"
+
+        def fwd(spec, qp, x, s=(2, 4), halo_axis=None, out_dtype="f32"):
+            return packed_exact_forward(spec, qp, x, s, corrected=True,
+                                        halo_axis=halo_axis,
+                                        out_dtype=out_dtype)
+    else:
+        raise ValueError(f"force_mode={force_mode!r}: only the sound "
+                         "'pe-exact' override is allowed")
 
     def local_fn(x):
         s_eff = s if s is not None else resolve_cells(
@@ -207,6 +225,7 @@ def multihost_tail_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
 
 def stream_frames(spec: SESRSpec, qp: QuantParams, mesh: Mesh, frames,
                   lowering: str = "interpreter", frames_per_chip: int = 1,
+                  audit_every: int = 0, audit_log=None,
                   **fwd_kwargs):
     """Continuous frame batching: group the frame iterator into global
     batches of host*dp*frames_per_chip frames and run them through the
@@ -234,26 +253,82 @@ def stream_frames(spec: SESRSpec, qp: QuantParams, mesh: Mesh, frames,
     host-1 frames instead of host*dp-1. When the frame cannot shard that
     finely (no certified cell geometry divides W/(dp*sp)), or in the
     batched mode (whose tail is at most one extra dispatch), it falls
-    back to the padded full batch."""
+    back to the padded full batch.
+
+    audit_every=N (deployment lowering only): every Nth batch is ALSO run
+    through the sound PE-exact interpreter with the overflow counters
+    (quant/audit.py audit_frame). On an 18-bit event in an
+    empirically-stamped layer — the out-of-distribution case the stamps
+    cannot cover — the stream warns (OODSaturationWarning), RE-SERVES the
+    failed batch through the PE-exact lowering, and degrades the rest of
+    the stream to that sound path. A statically-graded artifact has no
+    empirical trust, so its audit passes trivially and is skipped.
+    ``audit_log``: optional list; (batch_index, serving_mode, AuditResult)
+    tuples are appended for observability."""
+    audit_trusted = ()
+    serving_mode = lowering
     if lowering == "deployment":
         fwd = multihost_packed_forward(spec, qp, mesh, **fwd_kwargs)
+        if audit_every > 0:
+            from sesr_tpu.ops.packed import select_packed_forward
+            from sesr_tpu.quant.audit import empirically_trusted_layers
+            serving_mode, _ = select_packed_forward(qp)
+            audit_trusted = empirically_trusted_layers(qp, serving_mode)
     else:
         fwd = multihost_integer_forward(spec, qp, mesh, **fwd_kwargs)
     sh = frame_batch_sharding(mesh)
     n_host, dp, sp = (mesh.shape["host"], mesh.shape["dp"], mesh.shape["sp"])
     assert frames_per_chip >= 1
     n = n_host * dp * frames_per_chip
+
+    batch_idx = 0
+    degraded = False
+
+    def serve(x_np):
+        """One audited dispatch; may degrade self to the sound path."""
+        nonlocal fwd, serving_mode, audit_trusted, degraded
+        x = jax.device_put(jnp.asarray(x_np), sh)
+        y = fwd(x)
+        if audit_trusted and batch_idx % audit_every == 0:
+            from sesr_tpu.quant.audit import audit_frame
+            out_dtype = fwd_kwargs.get("out_dtype", "f32")
+            res = audit_frame(spec, qp, x_np,
+                              y_served=y if out_dtype == "f32" else None,
+                              mode=serving_mode)
+            if audit_log is not None:
+                audit_log.append((batch_idx, serving_mode, res))
+            if not res.ok:
+                # degrade: the sound lowering for this and all later batches
+                fwd = multihost_packed_forward(spec, qp, mesh,
+                                               force_mode="pe-exact",
+                                               **fwd_kwargs)
+                serving_mode = "pe-exact"
+                audit_trusted = ()
+                degraded = True
+                y = fwd(x)
+        elif audit_log is not None and audit_every > 0 \
+                and lowering == "deployment" \
+                and batch_idx % audit_every == 0:
+            # nothing left to audit (degraded, statically graded, or
+            # pe-exact serving) — record the sound mode for observability
+            audit_log.append((batch_idx, serving_mode, None))
+        return y
+
     buf = []
     for f in frames:
         buf.append(np.asarray(f, np.float32))
         if len(buf) == n:
-            x = jax.device_put(jnp.concatenate(buf, axis=0), sh)
-            yield fwd(x)
+            yield serve(np.concatenate(buf, axis=0))
+            batch_idx += 1
             buf = []
     if buf:
         k = len(buf)
         H, W = buf[0].shape[1], buf[0].shape[2]
-        tail_ok = dp > 1 and frames_per_chip == 1 and W % (dp * sp) == 0
+        # an audit-degraded stream must not hand its tail back to the
+        # certificate-selected tail program — the padded fallback below
+        # reuses the degraded fwd
+        tail_ok = (dp > 1 and frames_per_chip == 1 and W % (dp * sp) == 0
+                   and not degraded)
         if tail_ok and lowering == "deployment":
             from sesr_tpu.ops.packed import (resolve_cells,
                                              select_packed_forward)

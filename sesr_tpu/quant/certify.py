@@ -209,6 +209,29 @@ def adversarial_input_for_layer(qp: QuantParams, i: int):
     return x[None], (p, o, sign)
 
 
+def adversarial_image(qp: QuantParams, hw: Tuple[int, int] = (64, 96)):
+    """A legitimate [0, 1] NHWC image that realizes layer 0's interval-
+    extreme accumulation trajectory: the adversarial_input_for_layer(qp, 0)
+    shifted patch, mapped back through the layer-0 quantizer
+    (x = (q - zero) * scale with q = x_shift + z_eff — exactly invertible,
+    every q is in the enforced int8 domain) and tiled to ``hw``.
+
+    If layer 0 is NOT statically proven, this image fires real 18-bit
+    events on it — the out-of-distribution input the empirical-stamp
+    caveat warns about, realized. Used by the runtime audit tests
+    (quant/audit.py) and available for red-teaming an artifact's
+    empirical stamps."""
+    x_shift, _meta = adversarial_input_for_layer(qp, 0)
+    z_eff = qp.effective_zero(0)
+    zero, scale = qp.a_zero[0], qp.a_scale[0]
+    q = x_shift[0] + z_eff                               # (k, k, IC)
+    k = q.shape[0]
+    reps = (hw[0] + k - 1) // k, (hw[1] + k - 1) // k
+    img_q = np.tile(q, (reps[0], reps[1], 1))[: hw[0], : hw[1], :]
+    x = ((img_q - zero) * scale).astype(np.float32)
+    return np.clip(x, 0.0, 1.0)[None]
+
+
 def certify_fast(spec: SESRSpec, qp: QuantParams,
                  images: Sequence[np.ndarray]) -> QuantParams:
     """Run the proof obligations over `images` (NHWC float in [0,1]).
