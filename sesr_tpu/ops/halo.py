@@ -28,7 +28,12 @@ from jax import lax
 
 def halo_exchange(x, halo: int, axis, dim: int = 2):
     """Extend array dim ``dim`` by ``halo`` on each side with neighbour data
-    along mesh axis ``axis`` (None: zero extension, the unsharded limit)."""
+    along mesh axis ``axis`` (None: zero extension, the unsharded limit).
+
+    ``halo`` may exceed 1 (the packed (1,8) geometry under a k=5 kernel
+    exchanges a 2-cell H halo, round 5); the exchange stays a single
+    neighbour-to-neighbour ppermute as long as each shard owns at least
+    ``halo`` elements along ``dim`` (asserted)."""
     if halo == 0:
         return x
     if axis is None:
@@ -38,6 +43,9 @@ def halo_exchange(x, halo: int, axis, dim: int = 2):
     n = lax.axis_size(axis)
     if n == 1:
         return halo_exchange(x, halo, None, dim)
+    assert x.shape[dim] >= halo, (
+        f"halo {halo} exceeds the local shard extent {x.shape[dim]} along "
+        f"dim {dim} — a single-hop neighbour exchange cannot source it")
     send_right = [(i, i + 1) for i in range(n - 1)]  # my high edge -> their low halo
     send_left = [(i + 1, i) for i in range(n - 1)]   # my low edge -> their high halo
     hi_edge = [slice(None)] * x.ndim
@@ -54,8 +62,12 @@ def halo_exchange_w(x, halo: int, axis):
     return halo_exchange(x, halo, axis, dim=2)
 
 
-def halo_exchange_2d(x, halo: int, h_axis, w_axis):
-    """(N, Hl, Wl, C) -> (N, Hl + 2*halo, Wl + 2*halo, C): H exchange, then
-    W exchange of the extended tensor (corners via the diagonal neighbour)."""
-    x = halo_exchange(x, halo, h_axis, dim=1)
-    return halo_exchange(x, halo, w_axis, dim=2)
+def halo_exchange_2d(x, halo, h_axis, w_axis):
+    """(N, Hl, Wl, C) -> (N, Hl + 2*halo_h, Wl + 2*halo_w, C): H exchange,
+    then W exchange of the extended tensor (corners via the diagonal
+    neighbour in two hops). ``halo``: one int for both axes or an
+    (halo_h, halo_w) pair — the packed (1,8) geometry exchanges 2 H-cells
+    but 1 W-cell per k=5 layer."""
+    halo_h, halo_w = (halo, halo) if isinstance(halo, int) else halo
+    x = halo_exchange(x, halo_h, h_axis, dim=1)
+    return halo_exchange(x, halo_w, w_axis, dim=2)

@@ -104,11 +104,12 @@ def resolve_cells(mode: str, h_local: int, w_local: int,
     paths, which cannot pad): the measured default for this lowering mode
     when the local shard admits it, else the first certified geometry
     that does. A geometry is admissible when (a) the local shard is
-    cell-aligned along both axes and (b) every packed kernel's tap range
-    stays within ONE cell along each SHARDED axis — the halo machinery
-    exchanges exactly one cell (ops/halo.py), and a cell of size 1 under a
-    k=5 kernel spans +-2 cells (this is why the (1,8) monolithic default
-    cannot serve an H-sharded 2D mesh and falls back to (2,4) there).
+    cell-aligned along both axes and (b) each SHARDED axis's packed tap
+    reach fits a single-hop neighbour exchange — the halo machinery
+    exchanges the per-layer reach (1 cell for s >= 2; 2 cells along an
+    s = 1 axis under k=5), so the local shard must own at least that many
+    cells (round 5: this let the (1,8) default serve H-sharded 2D meshes,
+    which previously fell back to (2,4) and lost ~40% at 1080p+).
     cert_cells: the artifact's stamped geometry set (qp.cert_cells) —
     candidates outside it are skipped for the certificate-gated modes so
     a sharded builder can never silently serve a geometry the artifact's
@@ -128,17 +129,17 @@ def resolve_cells(mode: str, h_local: int, w_local: int,
     cands = [default_cells(mode)]
     cands += [c for c in CERTIFIED_CELLS if c not in cands]
 
-    def one_cell_halo(s: int) -> bool:
+    def halo_fits(local_px: int, s: int) -> bool:
         lo, hi = packed_tap_range(k_max, s)
-        return lo >= -1 and hi <= 1
+        return local_px // s >= max(-lo, hi)
 
     for sh, sw in cands:
         if mode != "pe-exact" and (sh, sw) not in gate:
             continue
         if h_local % sh or w_local % sw:
             continue
-        if (h_sharded and not one_cell_halo(sh)) or \
-                (w_sharded and not one_cell_halo(sw)):
+        if (h_sharded and not halo_fits(h_local, sh)) or \
+                (w_sharded and not halo_fits(w_local, sw)):
             continue
         return (sh, sw)
     raise ValueError(
@@ -305,30 +306,32 @@ def packed_conv_same(x_p, wp, q_lo_hw, q_hi_hw,
 
 
 def _halo_extend(x_c, q_lo, q_hi, halo_axis):
-    """ONE-cell halo exchange for sharded packed execution; returns
+    """Per-layer halo exchange for sharded packed execution; returns
     (extended, h_valid, w_valid). halo_axis: a single mesh axis name (W
     sharding), or an (h_axis, w_axis) pair for the 2D spatial mesh — the
     packed analog of the integer interpreter's halo_exchange_2d wiring
-    (corner values arrive via the two-hop H-then-W exchange). Every packed
-    kernel's tap range is exactly [-1, 1] per axis for k in {3, 5} at
-    s in {2, 4}, asserted here. Zeros delivered at mesh edges by the
-    non-wrapping ppermute equal the packed SAME padding in the shifted
-    domain."""
+    (corner values arrive via the two-hop H-then-W exchange). The exchange
+    width per sharded axis is the layer's packed tap reach: 1 cell for
+    every s >= 2 geometry, but an UNPACKED (s = 1) axis under a k=5 kernel
+    reaches +-2 cells — the (1,8) W-only default on an H-sharded mesh
+    exchanges a 2-cell H halo (round 5; previously this forced a (2,4)
+    fallback that lost ~40% at 1080p+). Odd kernels give symmetric tap
+    ranges (asserted). Zeros delivered at mesh edges by the non-wrapping
+    ppermute equal the packed SAME padding in the shifted domain."""
     if halo_axis is None:
         return x_c, False, False
     from sesr_tpu.ops.halo import halo_exchange, halo_exchange_2d
+    assert q_hi[0] == -q_lo[0] and q_hi[1] == -q_lo[1], (q_lo, q_hi)
+    hy, hx = q_hi[0], q_hi[1]
     if isinstance(halo_axis, tuple):
         h_ax, w_ax = halo_axis
         if h_ax is None:
             # W sharded over a COMBINED axis group (e.g. ("dp", "sp") in
             # the multihost tail forward) — a plain W exchange whose
             # ppermute rides the flattened axis
-            assert q_lo[1] == -1 and q_hi[1] == 1, (q_lo, q_hi)
-            return halo_exchange(x_c, 1, w_ax, dim=2), False, True
-        assert tuple(q_lo) == (-1, -1) and tuple(q_hi) == (1, 1), (q_lo, q_hi)
-        return halo_exchange_2d(x_c, 1, h_ax, w_ax), True, True
-    assert q_lo[1] == -1 and q_hi[1] == 1, (q_lo, q_hi)
-    return halo_exchange(x_c, 1, halo_axis, dim=2), False, True
+            return halo_exchange(x_c, hx, w_ax, dim=2), False, True
+        return halo_exchange_2d(x_c, (hy, hx), h_ax, w_ax), True, True
+    return halo_exchange(x_c, hx, halo_axis, dim=2), False, True
 
 
 def _pad_mask(spec: SESRSpec, H: int, W: int, s: SLike):

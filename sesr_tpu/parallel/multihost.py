@@ -150,7 +150,7 @@ def make_mesh_multihost_2d(n_hosts: Optional[int] = None, dp: int = 1,
 def multihost_packed_forward_2d(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
                                 s=None, out_dtype="f32"):
     """The deployment datapath at pod scale on the 2D spatial mesh: frames
-    over (host, dp), H over sph, W over spw; per-layer one-cell packed
+    over (host, dp), H over sph, W over spw; per-layer packed tap-reach
     halos ride ICI only (both axes live within a host), the host axis
     stays collective-free. Certificate-selected lowering; cell-aligned
     local shards required (s=None resolves the measured default with

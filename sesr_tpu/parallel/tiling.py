@@ -126,8 +126,10 @@ def sharded_deployment_forward_2d(spec: SESRSpec, qp: QuantParams,
     """The channel-packed deployment datapath on the 2D spatial mesh
     (dp=batch, sph=H, spw=W) — the pod-scale layout for large frames,
     mirroring the reference's own 2D tile walk (output.py:42-65). Each
-    layer's packed conv exchanges a ONE-cell halo along BOTH spatial axes
-    (corners via the two-hop H-then-W exchange, ops/halo.py). Requires
+    layer's packed conv exchanges its tap-reach halo along BOTH spatial
+    axes (one cell at s >= 2; TWO cells along an s=1 axis under k=5, so
+    the (1,8) default serves this mesh since round 5 — corners via the
+    two-hop H-then-W exchange, ops/halo.py). Requires
     cell-aligned local shards (H_local % s_h == W_local % s_w == 0);
     s=None picks the measured default for the certificate-selected
     lowering, falling back to the first certified geometry that divides
@@ -152,7 +154,7 @@ def sharded_deployment_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
     """The channel-packed deployment datapath sharded (dp=batch, sp=W),
     through whatever lowering the artifact's certificate allows (fast /
     layer-hybrid / PE-exact — ops/packed.py select_packed_forward), with
-    each layer's packed conv exchanging a ONE-cell W halo over ICI (vs
+    each layer's packed conv exchanging its one-cell W halo over ICI (vs
     k//2 pixels unpacked — packing also shrinks the collective payload).
     Requires cell-aligned shards; s=None resolves via resolve_cells (the
     measured default when it divides, certified fallback otherwise);

@@ -306,7 +306,7 @@ def test_packed_fast_int8_output_contract():
 
 def test_resolve_cells_policy():
     """resolve_cells: the measured default when the shard admits it, the
-    first certified geometry otherwise, one-cell-halo constraint on
+    first certified geometry otherwise, halo-capacity constraint on
     sharded axes, cert_cells gate, explicit error when nothing fits, and
     REFUSAL of unstamped artifacts for the certificate-gated modes (the
     same policy `infer --cells` enforces — round-4 review finding)."""
@@ -318,9 +318,17 @@ def test_resolve_cells_policy():
     assert resolve_cells("hybrid", 24, 16, all_c) == FAST_DEFAULT_CELLS
     # W shard not divisible by 8: certified fallback (2,4)
     assert resolve_cells("fast", 24, 12, all_c) == (2, 4)
-    # H-sharded (2D mesh): s_h=1 cells span +-2 cells under k=5 — beyond
-    # the one-cell halo machinery, so the default is skipped
-    assert resolve_cells("fast", 24, 16, all_c, h_sharded=True) == (2, 4)
+    # H-sharded (2D mesh): since round 5 the halo machinery exchanges the
+    # per-layer tap reach (2 cells along an s_h=1 axis under k=5), so the
+    # (1,8) default SERVES H-sharded meshes — the pod path no longer pays
+    # the (2,4) 1080p+ geometry penalty
+    assert resolve_cells("fast", 24, 16, all_c, h_sharded=True) \
+        == FAST_DEFAULT_CELLS
+    # ...unless the local H shard is too thin to source a 2-cell halo
+    # from one neighbour hop (h_local=1: no geometry fits — (1,8) fails
+    # the capacity check, every s_h>=2 geometry fails alignment)
+    with pytest.raises(ValueError, match="no certified"):
+        resolve_cells("fast", 1, 16, all_c, h_sharded=True)
     # pe-exact keeps its measured default and needs no stamps
     assert resolve_cells("pe-exact", 24, 16) == (2, 4)
     # an artifact stamped only for (2,4) must never serve (1,8)

@@ -448,6 +448,39 @@ def test_sharded_packed_2d_hybrid_bit_exact():
     np.testing.assert_array_equal(np.asarray(y_shard), np.asarray(y_mono))
 
 
+def test_sharded_packed_2d_1x8_two_cell_halo_bit_exact():
+    """Round 5: the (1,8) W-only default on an H-SHARDED 2D mesh — the k=5
+    layers reach +-2 cells along the unpacked H axis, so the exchange is a
+    2-cell halo (ops/halo.py). Stress the machinery at sp_h=4 with the
+    local H shard EXACTLY at halo capacity (2 rows/shard) and explicit
+    s=(1,8), and confirm resolve_cells now picks (1,8) by default on the
+    same mesh with a roomier shard."""
+    import os
+    from sesr_tpu.parallel.tiling import (make_mesh_2d,
+                                          sharded_deployment_forward_2d)
+    from sesr_tpu.ops.packed import packed_fast_forward, resolve_cells
+    from sesr_tpu.quant.params import QuantParams
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "artifacts",
+                        "qparams_sr_x2.npz")
+    if not os.path.exists(path):
+        pytest.skip("qparams_sr_x2.npz missing")
+    spec = spec_for_task("sr_x2")
+    qp = QuantParams.load(path)
+    mesh = make_mesh_2d(dp=1, sp_h=4, sp_w=2)
+
+    rng = np.random.default_rng(61)
+    # local shard: H 2 (== the 2-cell halo, minimal legal), W 16
+    x = rng.random((1, 8, 32, 3), dtype=np.float32)
+    y_mono = packed_fast_forward(spec, qp, jnp.asarray(x), s=(1, 8))
+    y_shard = sharded_deployment_forward_2d(spec, qp, mesh, s=(1, 8))(
+        jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(y_shard), np.asarray(y_mono))
+    # policy: the default geometry on this mesh is now (1,8)
+    assert resolve_cells("fast", 8 // 4, 32 // 2, qp.cert_cells,
+                         h_sharded=True) == (1, 8)
+
+
 def test_multihost_packed_2d_bit_exact():
     """(host, dp, sph, spw) pod mesh: frames over host x dp, 2D spatial
     halos within a host — the packed deployment path at pod scale."""
