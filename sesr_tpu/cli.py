@@ -242,11 +242,22 @@ def cmd_train(args):
                             start + args.steps)
     print(f"{args.steps} steps in {time.time()-t0:.1f}s")
     if args.out:
-        collapsed = collapse_expanded(spec, params)
+        if args.qat:
+            # QAT-trained weights must collapse THROUGH the fake-quant
+            # delta response (the reference's own qat deployment
+            # composition, quantize_utils_cuda.py:801-834 -> collapse):
+            # the float analytic contraction forfeits the gap elimination
+            # QAT buys (~0.4 dB on sr_x4 — tools/qat_value.py, pinned in
+            # tests/test_qat.py)
+            from sesr_tpu.models.expanded import collapse_expanded_qat
+            collapsed = collapse_expanded_qat(spec, params)
+        else:
+            collapsed = collapse_expanded(spec, params)
         np.savez(args.out,
                  **{f"w_{i}": np.asarray(w) for i, w in enumerate(collapsed.weights)},
                  **{f"b_{i}": np.asarray(b) for i, b in enumerate(collapsed.biases)})
-        print(f"collapsed checkpoint -> {args.out}")
+        print(f"collapsed checkpoint -> {args.out}"
+              + (" (fake-quant-delta collapse)" if args.qat else ""))
 
 
 def cmd_infer(args):
