@@ -207,8 +207,20 @@ def load_reference_checkpoint(task: str,
 
     qat=True replicates the qatf="qat_" composition: the QAT checkpoint's
     weights (where the reference uses them — QAT_CHECKPOINTS) collapsed
-    through the fake-quant delta response (collapse_state_dict_qat)."""
+    through the fake-quant delta response (collapse_state_dict_qat).
+
+    A ``path`` ending in .npz is read as an ALREADY-COLLAPSED checkpoint
+    in the w_{i}/b_{i} layout that `train --out` and
+    tools/make_qparams.py write (e.g. artifacts/sr_x4_qat_collapsed.npz)
+    — so `eval-float --checkpoint x.npz` can score this framework's own
+    trained models, not only reference .pth files."""
     spec = spec_for_task(task)
+    if path is not None and path.endswith(".npz"):
+        import numpy as np
+        ck = np.load(path)
+        return CollapsedParams(
+            [ck[f"w_{i}"] for i in range(spec.num_convs)],
+            [ck[f"b_{i}"] for i in range(spec.num_convs)])
     if path is None:
         name = (QAT_CHECKPOINTS.get(task) if qat else None) \
             or REFERENCE_CHECKPOINTS[task]

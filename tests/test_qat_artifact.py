@@ -79,6 +79,19 @@ def test_qat_artifact_is_certified_and_serves():
     np.testing.assert_array_equal(np.asarray(y), np.asarray(y_exact))
 
 
+def test_eval_float_loads_npz_collapsed_checkpoint(capsys):
+    """eval-float --checkpoint x.npz scores this framework's own trained
+    models (the w_{i}/b_{i} layout train --out writes) — the QAT
+    artifact's FP32 reference is usable through the standard CLI."""
+    from sesr_tpu.cli import main
+
+    main(["eval-float", "--task", "sr_x4", "--checkpoint", CK_PATH,
+          "--n-images", "1"])
+    out = capsys.readouterr().out
+    assert "mean psnr" in out
+    assert float(out.split("psnr:")[1].split()[0]) > 15.0
+
+
 def test_qat_artifact_weights_differ_from_ptq():
     """The QAT artifact is a genuinely different network than the PTQ
     artifact built from the raw reference checkpoint (its int weights were
