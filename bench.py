@@ -142,8 +142,18 @@ def main():
     import statistics
     x1 = inp()
     x8 = inp(8)
-    samples, samples_24, samples_b8 = [], [], []
+    # resolution scaling is a standing headline claim (r3i/r4: flat to
+    # 1080p at (1,8) with the int8 output contract) — measured in the
+    # DEFAULT run so every driver capture audits it, interleaved with
+    # the 540p rows for drift-fairness
+    x_hd = jax.device_put(jnp.asarray(
+        rng.random((1, 1080, 1920, spec.in_channels), dtype=np.float32)))
+    samples, samples_24, samples_b8, samples_hd = [], [], [], []
     for _ in range(5):
+        samples_hd.append(measure(
+            lambda c: _packed_fast_impl(spec, c, qp, (1, 8), True, None,
+                                        "int8").astype(jnp.float32),
+            x_hd, spec))
         samples.append(measure(
             lambda c: _packed_fast_impl(spec, c, qp, (1, 8)), x1, spec))
         samples_24.append(measure(
@@ -163,6 +173,9 @@ def main():
     log(f"bench: packed(1x8) batch-8 throughput config: "
         f"{[round(s, 1) for s in samples_b8]} -> median "
         f"{statistics.median(samples_b8):.1f} Mpx/s/chip")
+    log(f"bench: packed(1x8) 1080p-input int8-out (resolution scaling): "
+        f"{[round(s, 1) for s in samples_hd]} -> median "
+        f"{statistics.median(samples_hd):.1f} Mpx/s")
 
     if "--per-task" in sys.argv:
         # every task through its certificate-selected deployment lowering
