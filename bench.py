@@ -1,10 +1,13 @@
 """Benchmark: SESR-x2 INT8 inference throughput on one TPU chip.
 
 Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"};
-progress goes to stderr. `--all-paths` additionally measures the
-alternative lowerings (unpacked fast, 4x4 cells, batch 4/8, 1080p input,
-fused Pallas, nr hybrid/PE-exact) and `--per-task` measures every task
-through its certificate-selected lowering — both print to stderr only.
+progress goes to stderr. The DEFAULT run measures four interleaved rows
+(540p (1,8) headline, the (2,4) control, batch-8 throughput, and the
+1080p-input int8-out resolution-scaling row). `--all-paths` additionally
+measures the alternative lowerings (unpacked fast, 4x4 cells, batch 4/8,
+1080p f32/int8 at both geometries, fused Pallas, nr hybrid/PE-exact) and
+`--per-task` measures every shipped artifact (incl. sr_x4_qat) through
+its certificate-selected lowering — both print to stderr only.
 
 Measurement protocol (hard-won; see CLAUDE.md "Environment gotchas"):
 - On this environment's tunneled TPU backend, jax.block_until_ready returns
@@ -182,7 +185,10 @@ def main():
         # (fast for dm/nrdm_3/sr_x2/sr_x4, layer-hybrid for nr/nrdm_6)
         from sesr_tpu.ops.packed import select_packed_forward
         from sesr_tpu.quant.params import QuantParams
-        for task in ("sr_x2", "sr_x4", "nrdm_3", "nrdm_6", "nr", "dm"):
+        # sr_x4_qat: the round-5 QAT-closed artifact (same graph as sr_x4,
+        # different weights/scales — serves through the same fast lowering)
+        for task in ("sr_x2", "sr_x4", "sr_x4_qat", "nrdm_3", "nrdm_6",
+                     "nr", "dm"):
             if task == TASK:
                 # identical program to the headline just measured
                 log(f"bench: task {task} (fast): {mpxs:.1f} Mpx/s "
@@ -192,7 +198,7 @@ def main():
             if not os.path.exists(path):
                 log(f"bench: {task}: no artifact, skipped")
                 continue
-            sp_t = spec_for_task(task)
+            sp_t = spec_for_task(task.removesuffix("_qat"))
             qp_t = QuantParams.load(path)
             mode, fwd = select_packed_forward(qp_t)
             from sesr_tpu.ops.packed import default_cells
