@@ -222,6 +222,10 @@ def cmd_train(args):
         os.makedirs(args.preview_dir, exist_ok=True)
         y = np.asarray(forward_expanded(spec, params,
                                         jnp.asarray(data[0][0])))[0]
+        if spec.global_input_skip:
+            # sr_x2 predicts a residual; preview the image, not the residual
+            y = y + np.repeat(np.repeat(data[0][0][0], spec.scaling_factor,
+                                        axis=0), spec.scaling_factor, axis=1)
         _save_png(y, os.path.join(args.preview_dir, f"preview_{it:06d}.png"))
 
     t0 = time.time()

@@ -373,6 +373,15 @@ def make_train_step(spec: SESRSpec, cfg: Optional[QATConfig], optimizer):
 
     cfg=None trains the plain float network (the reference's default path —
     its QAT trigger is dead code behind `epoch > 10000`, train.py:61-63).
+
+    Specs with ``global_input_skip`` (sr_x2) predict a RESIDUAL: the
+    reference adds the nearest-upsampled input OUTSIDE the model at eval
+    (test.py:149-155), and upstream never trains that arch (train.py is
+    the Bayer pipeline), so the convention at train time is ours to fix —
+    the loss must score y + nearest_up(x) against the full-image gt, or a
+    fine-tune from a good checkpoint diverges immediately (measured:
+    300 steps drove the sr_x2 reference checkpoint from 30.4 to 13.9 dB
+    held-out before this correction; pinned in tests/test_qat.py).
     """
     import optax
 
@@ -385,6 +394,9 @@ def make_train_step(spec: SESRSpec, cfg: Optional[QATConfig], optimizer):
                 aux = qstate
             else:
                 y, aux = qat_forward(spec, cfg, p, qstate, x, training=True)
+            if spec.global_input_skip:
+                y = y + jnp.repeat(jnp.repeat(x, spec.scaling_factor, axis=1),
+                                   spec.scaling_factor, axis=2)
             return jnp.mean((y - gt) ** 2), aux
 
         (loss, new_qstate), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

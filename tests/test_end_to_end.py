@@ -66,9 +66,17 @@ def test_train_calibrate_certify_deploy(task, rng):
         np.testing.assert_array_equal(np.asarray(got_h), np.asarray(want))
 
     # 5. the integer deployment output tracks the float model it was
-    #    quantized from (coarse: within a few dB on its own data)
+    #    quantized from (coarse: within a few dB on its own data). For the
+    #    global-input-skip arch (sr_x2) the model output is a RESIDUAL —
+    #    with the skip-aware train loss (round 5) the trained residual is
+    #    genuinely small, so relative error is scored in the IMAGE domain
+    #    (residual + nearest-upsampled input), the task's actual contract.
     err_int = float(jnp.mean((jnp.asarray(want) - y_f) ** 2))
-    sig = float(jnp.mean(y_f ** 2)) + 1e-12
+    y_img = y_f
+    if spec.global_input_skip:
+        y_img = y_f + jnp.repeat(jnp.repeat(x, spec.scaling_factor, axis=1),
+                                 spec.scaling_factor, axis=2)
+    sig = float(jnp.mean(y_img ** 2)) + 1e-12
     assert err_int / sig < 0.1, (err_int, sig)
 
 

@@ -151,3 +151,48 @@ def test_qat_finetune_value_pins():
     assert gap_fqc <= 0.15, (gap_fqc, r)
     assert gap_fqc <= gap_float, (gap_fqc, gap_float)
     assert r["qat_ft_fqc"][0] >= r["ptq_only"][0], r
+
+
+@requires_reference
+def test_train_loss_respects_global_input_skip():
+    """sr_x2 (MFLAG 6) predicts a RESIDUAL: the reference adds the
+    nearest-upsampled input outside the model at eval (test.py:149-155)
+    and never trains this arch, so the train-time convention is this
+    framework's to define. make_train_step must score
+    y + nearest_up(x) against the full-image gt — before this was fixed,
+    300 fine-tune steps drove the reference checkpoint from 30.4 to
+    13.9 dB held-out (round-5 probe) because the loss taught the net to
+    predict the full image that evaluate_pair then double-counted.
+
+    Pins: (1) the skip-aware loss at the GOOD reference checkpoint is
+    small, and much smaller than the raw-output MSE the buggy convention
+    computed; (2) a few steps keep it small (no immediate divergence)."""
+    import os
+    import optax
+    from sesr_tpu.config import REFERENCE_CHECKPOINTS
+    from sesr_tpu.data.datasets import RealImageDataset
+    from sesr_tpu.io.torch_import import _to_numpy_state
+
+    spec = spec_for_task("sr_x2")
+    state = _to_numpy_state(os.path.join(
+        REFERENCE_ROOT, "model_params", REFERENCE_CHECKPOINTS["sr_x2"]))
+    params = expanded_from_state_dict(spec, state)
+    inp, gt = RealImageDataset("sr_x2", n=1, hw=(48, 64), seed=1000)[0][:2]
+    x, g = jnp.asarray(inp), jnp.asarray(gt)
+
+    cfg = QATConfig()
+    qstate = prepare(spec, cfg)
+    y, _ = qat_forward(spec, cfg, params, qstate, x, training=True)
+    up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    loss_skip_aware = float(jnp.mean((y + up - g) ** 2))
+    loss_raw = float(jnp.mean((y - g) ** 2))
+    assert loss_skip_aware < 0.05, loss_skip_aware
+    assert loss_raw > 3 * loss_skip_aware, (loss_raw, loss_skip_aware)
+
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+    step = jax.jit(make_train_step(spec, cfg, opt))
+    for _ in range(4):
+        params, qstate, opt_state, loss = step(params, qstate, opt_state,
+                                               (x, g))
+    assert float(loss) < 0.05, float(loss)

@@ -191,8 +191,11 @@ def test_sharded_qat_train_step_matches_unsharded():
     p2, q2, o2, loss_sh = step_sh(params, qstate, opt_state,
                                   (jnp.asarray(x), jnp.asarray(gt)))
 
+    # rtol: f32 reassociation between GSPMD's and the monolithic mean —
+    # the round-5 skip-aware sr_x2 loss (y + nearest_up(x)) grew the
+    # summand magnitudes and with them the reassociation band (~1e-6 rel)
     np.testing.assert_allclose(float(loss_sh), float(loss_mono),
-                               rtol=1e-6, atol=1e-8)
+                               rtol=1e-5, atol=1e-8)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
@@ -621,8 +624,11 @@ def test_multihost_qat_train_step_matches_unsharded():
     p2, q2, o2, loss_sh = step_sh(params, qstate, opt_state,
                                   (jnp.asarray(x), jnp.asarray(gt)))
 
+    # rtol: f32 reassociation between GSPMD's and the monolithic mean —
+    # the round-5 skip-aware sr_x2 loss (y + nearest_up(x)) grew the
+    # summand magnitudes and with them the reassociation band (~1e-6 rel)
     np.testing.assert_allclose(float(loss_sh), float(loss_mono),
-                               rtol=1e-6, atol=1e-8)
+                               rtol=1e-5, atol=1e-8)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)

@@ -98,6 +98,13 @@ def build_qat_artifact(task: str, out_dir: str, steps: int = 300,
     reference — the gap the study eliminates is measured against it, not
     against the original checkpoint). Prints the held-out seed-77 gap;
     tests/test_qat_artifact.py pins it < 0.5 dB (from 1.1 with PTQ-only).
+
+    Scope: the chain pays off for tasks with a LARGE PTQ gap and no
+    external residual skip. sr_x2 was probed (late round 5, after the
+    skip-aware train-loss fix) and does NOT ship: its PTQ gap is already
+    +0.27 dB and the fake-quant-delta collapse does not eliminate the
+    gap for the global-input-skip residual arch (+1.8..+2.3 dB across
+    observers) — record in BASELINE.md "QAT value".
     """
     import jax as _jax
     import jax.numpy as jnp
