@@ -1,0 +1,179 @@
+"""AdaRound — adaptive per-weight rounding for PTQ artifacts.
+
+Standard technique ("Up or Down? Adaptive Rounding for Post-Training
+Quantization", arXiv:2004.10568: continuous relaxation of the per-weight
+floor/ceil choice, rectified sigmoid, annealed binary regularizer),
+adapted to this framework's hardware contract:
+
+- w_int stays per-tensor int8 at the reference scale formula
+  (quan_func.py:44-126) — ONLY which neighbor each weight rounds to
+  changes, so every downstream consumer (integer interpreter, packed
+  lowerings, certification, hex export) is untouched;
+- the per-layer objective is the weight-rounding error ON THE QUANTIZED
+  PIPELINE'S OWN layer inputs in integer conv units,
+      min_h E_n || conv(x_shift_n, (floor(W/s) + h) - W/s) ||^2,
+  with x_shift collected from the corrected integer path under the
+  running artifact — NOT the float net's activations (the round-4 bias
+  study showed post-hoc corrections that chase float trajectories fight
+  the calibration's own adaptation and lose);
+- layers optimize sequentially (layer i+1 sees layers 0..i already
+  re-rounded) and each layer is ACCEPTED only if its final binary
+  rounding strictly lowers the calibration rounding error vs
+  round-to-nearest — per-layer no-worse on calibration data by
+  construction;
+- activations are then recalibrated from scratch with the new w_int
+  (calibrate(w_int_override=...)) and the artifact re-certified.
+
+VALUE (round-5 study, tools/adaround_study.py, held-out seed-77 GT PSNR
+through the corrected integer path, two independent runs):
+
+  sr_x4 +0.166/+0.181 dB (replicates; the task with the largest
+  fake-quant delta) — SHIPPED: the default sr_x4 artifact recipe uses
+  adaround (tools/make_qparams.py WEIGHT_ROUNDING_DEFAULTS).
+  nrdm_3 -0.01..-0.08, nr -0.01..-0.02, sr_x2 -0.04, dm +0.02 — the
+  calibration-fit MSE reduction does NOT transfer to held-out GT for the
+  small-gap tasks (12-image layerwise fit on 16-channel nets overfits);
+  those keep round-to-nearest. Full tables in BASELINE.md "AdaRound".
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sesr_tpu.config import SESRSpec
+from sesr_tpu.models.sesr import CollapsedParams
+from sesr_tpu.ops.conv import conv2d_nhwc
+from sesr_tpu.quant.params import QuantParams
+
+_HP = jax.lax.Precision.HIGHEST
+
+
+def _layer_inputs(qp: QuantParams, x, upto: int):
+    """x_shift (zero-shifted integer-unit conv inputs) for layers 0..upto
+    of the corrected integer path under qp."""
+    from sesr_tpu.quant.integer import (_integer_conv_pe, _quantize_domain_in,
+                                        _requant_out)
+    L = qp.num_convs
+    h, shortcut, ins = x, None, []
+    for i in range(L):
+        _xq, x_shift = _quantize_domain_in(h, i, L, qp, shortcut, True)
+        ins.append(x_shift)
+        if i == upto:
+            break
+        _po, _pa, y, _ovf = _integer_conv_pe(x_shift, i, qp,
+                                             corrected=True, compute="bf16")
+        h, extras = _requant_out(y, i, L, qp)
+        if i == 0:
+            shortcut = extras["shortcut"]
+        if i < L - 1:
+            h = jax.nn.relu(h)
+    return ins
+
+
+def optimize_layer_rounding(w_float, w_scale: float, xs, steps: int = 800,
+                            lr: float = 1e-2, lam: float = 1e-2,
+                            beta0: float = 18.0, beta1: float = 2.0):
+    """One layer. xs: (N, H, W, IC) stacked integer-unit inputs. Returns
+    (w_int int32 HWIO, frac_moved_off_nearest, mse_nearest, mse_final) —
+    with the accept-if-better guard, mse_final <= mse_nearest always, and
+    w_int == round-to-nearest when the optimizer cannot beat it."""
+    import optax
+
+    w_real = np.asarray(w_float, np.float64) / w_scale          # HWIO
+    base = np.floor(w_real)
+    r = np.clip(w_real - base, 1e-4, 1 - 1e-4)
+    p = np.clip((r + 0.1) / 1.2, 1e-6, 1 - 1e-6)
+    v0 = jnp.asarray(np.log(p / (1 - p)), jnp.float32)          # h(v0) == r
+    base_j = jnp.asarray(base, jnp.float32)
+    w_real_j = jnp.asarray(w_real, jnp.float32)
+    xs_j = jnp.asarray(xs, jnp.float32)
+
+    def h_of(v):
+        return jnp.clip(jax.nn.sigmoid(v) * 1.2 - 0.1, 0.0, 1.0)
+
+    def mse(v):
+        dw = base_j + h_of(v) - w_real_j        # rounding error, int units
+        err = conv2d_nhwc(xs_j, dw, precision=_HP)
+        return jnp.mean(err * err)
+
+    v_nearest = jnp.where(jnp.asarray(r, jnp.float32) >= 0.5, 8.0, -8.0)
+    mse_nearest = float(mse(v_nearest)) + 1e-12
+
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def step(v, ost, beta):
+        def loss(v):
+            h = h_of(v)
+            reg = jnp.mean(1.0 - jnp.abs(2.0 * h - 1.0) ** beta)
+            return mse(v) / mse_nearest + lam * reg
+        l, g = jax.value_and_grad(loss)(v)
+        up, ost = opt.update(g, ost)
+        return optax.apply_updates(v, up), ost, l
+
+    v, ost = v0, opt.init(v0)
+    for t in range(steps):
+        beta = beta0 + (beta1 - beta0) * (t / max(1, steps - 1))
+        v, ost, _l = step(v, ost, jnp.float32(beta))
+
+    h_bin = (np.asarray(h_of(v)) > 0.5).astype(np.int64)
+    w_new = np.clip(base.astype(np.int64) + h_bin, -128, 127).astype(np.int32)
+    w_nearest = np.clip(np.rint(w_real), -128, 127).astype(np.int32)
+    final_mse = float(mse(jnp.asarray(np.where(h_bin, 8.0, -8.0),
+                                      jnp.float32)))
+    # accept-if-better: the annealed binary snap can land ABOVE the
+    # nearest-rounding error (under-converged layers) — keep nearest there
+    if final_mse >= mse_nearest:
+        return w_nearest, 0.0, mse_nearest, mse_nearest
+    return w_new, float(np.mean(w_new != w_nearest)), mse_nearest, final_mse
+
+
+def adaround_weights(spec: SESRSpec, params: CollapsedParams,
+                     qp_baseline: QuantParams,
+                     images: Sequence[np.ndarray], steps: int = 800,
+                     verbose: bool = False) -> List[np.ndarray]:
+    """Sequentially optimized w_int for every layer (the rounding phase).
+    qp_baseline: a finalized artifact at the target scales (its activation
+    params drive the input collection; they are refreshed afterwards by
+    calibrate(w_int_override=...))."""
+    qp_work = qp_baseline
+    w_new = [np.asarray(w) for w in qp_baseline.w_int]
+    for i in range(qp_baseline.num_convs):
+        xs = np.concatenate([
+            np.asarray(_layer_inputs(qp_work, jnp.asarray(img, jnp.float32),
+                                     i)[i])
+            for img in images], axis=0)
+        w_i, moved, m_near, m_final = optimize_layer_rounding(
+            params.weights[i], qp_baseline.w_scale[i], xs, steps=steps)
+        w_new[i] = w_i
+        qp_work = dataclasses.replace(qp_work, w_int=list(w_new))
+        if verbose:
+            print(f"[adaround] layer {i}: {moved*100:.1f}% off nearest; "
+                  f"calib rounding mse {m_near:.3e} -> {m_final:.3e}",
+                  flush=True)
+    return w_new
+
+
+def adaround_calibrate(spec: SESRSpec, params: CollapsedParams,
+                       images: Sequence[np.ndarray], steps: int = 800,
+                       verbose: bool = False, **calibrate_kwargs
+                       ) -> QuantParams:
+    """The full two-phase recipe: nearest-rounding calibrate -> sequential
+    rounding optimization on the quantized pipeline's own inputs -> full
+    recalibration at the optimized w_int. NOT certified — run
+    certify_fast on the result like any calibrate() output.
+
+    calibrate_kwargs pass through to BOTH calibrate calls (observer,
+    safe_zero_floor, hw, ...)."""
+    from sesr_tpu.quant.calibrate import calibrate
+
+    qp0 = calibrate(spec, params, images, **calibrate_kwargs)
+    w_new = adaround_weights(spec, params, qp0, images, steps=steps,
+                             verbose=verbose)
+    return calibrate(spec, params, images, w_int_override=w_new,
+                     **calibrate_kwargs)

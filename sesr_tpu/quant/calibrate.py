@@ -176,8 +176,18 @@ def _calibration_forward_impl(spec: SESRSpec, fq_weights, x,
     return h, minmax
 
 
-def _prep_fq_weights(params: CollapsedParams, hw: HardwareConfig):
+def _prep_fq_weights(params: CollapsedParams, hw: HardwareConfig,
+                     w_int_override=None):
+    """w_int_override: per-layer int-valued arrays replacing the default
+    round-to-nearest quantization AT THE SAME per-tensor scales — the hook
+    for adaptive weight rounding (quant/adaround.py). The scales stay the
+    reference contract (quan_func.py:44-126); only the rounding choice of
+    each weight may differ."""
     w_int, w_scale = quantize_weights([np.asarray(w) for w in params.weights], hw)
+    if w_int_override is not None:
+        w_int = [np.asarray(q, np.int32) for q in w_int_override]
+        lim = 1 << (hw.quan_bits - 1)
+        assert all((q >= -lim).all() and (q < lim).all() for q in w_int)
     w_fq = tuple(jnp.asarray(q.astype(np.float32) * np.float32(s))
                  for q, s in zip(w_int, w_scale))
     biases = tuple(jnp.asarray(b, jnp.float32) for b in params.biases)
@@ -291,7 +301,8 @@ def calibrate(spec: SESRSpec, params: CollapsedParams,
               observer: str = "minmax",
               percentile: float = 0.9999,
               safe_zero_floor: bool = False,
-              qat_add_bounds=None) -> QuantParams:
+              qat_add_bounds=None,
+              w_int_override=None) -> QuantParams:
     """Run the calibration set through the fake-quant pipeline and finalize
     a complete QuantParams (test.py eval loop + :186-217 finalize).
 
@@ -306,8 +317,13 @@ def calibrate(spec: SESRSpec, params: CollapsedParams,
 
     Observer guardrail: see guarded_calibrate — the ground-truth-scored
     comparison against minmax that the CLI runs for non-default observers.
+
+    w_int_override: per-layer int weight arrays replacing round-to-nearest
+    at the same per-tensor scales (adaptive rounding, quant/adaround.py —
+    shipped for sr_x4 where it gains +0.17..0.18 dB held-out GT PSNR;
+    tools/adaround_study.py).
     """
-    fq_weights, w_int, w_scale = _prep_fq_weights(params, hw)
+    fq_weights, w_int, w_scale = _prep_fq_weights(params, hw, w_int_override)
     L = spec.num_convs
 
     def fwd(img, hist_bounds=None, collect_hist=False):

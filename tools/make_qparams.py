@@ -71,6 +71,14 @@ def calibration_images(task: str, n: int, images_dir=None, n_real: int = 4):
 # (tools/observer_study.py, seed-77 eval; table in BASELINE.md)
 OBSERVER_DEFAULTS = {"sr_x2": "kl", "sr_x4": "kl"}
 
+# per-task weight-rounding winners (tools/adaround_study.py, round 5,
+# seed-77 eval, two independent runs): AdaRound replicates +0.166/+0.181
+# dB on sr_x4 (the largest-fake-quant-delta task) and does NOT transfer
+# to held-out GT on nrdm_3/nr/sr_x2/dm (-0.08..+0.02 — 12-image layerwise
+# calibration fit overfits the small-gap 16-channel nets); those keep
+# round-to-nearest. Table in BASELINE.md "AdaRound".
+WEIGHT_ROUNDING_DEFAULTS = {"sr_x4": "adaround"}
+
 # the PTQ observer winners do NOT transfer to QAT-collapsed weights:
 # KL — the sr_x4 PTQ winner — loses badly on the QAT artifact
 # (round-5 calibration probe, held-out seed-77 gaps on the fake-quant-
@@ -189,6 +197,11 @@ def main():
                          "(KL clips the sparse Bayer activation ranges "
                          "catastrophically, -13 dB; percentile is within "
                          "noise of minmax everywhere)")
+    ap.add_argument("--weight-rounding", default=None,
+                    choices=("nearest", "adaround"),
+                    help="weight rounding (quant/adaround.py); default = "
+                         "the per-task winner of the round-5 study "
+                         "(adaround for sr_x4, nearest elsewhere)")
     ap.add_argument("--out-dir", default=os.path.join(REPO, "artifacts"))
     ap.add_argument("--qat", nargs="*", default=None, metavar="TASK",
                     help="ALSO build QAT-closed artifacts for these tasks "
@@ -212,15 +225,22 @@ def main():
         images = calibration_images(task, args.n_images, args.images,
                                     args.n_real)
         observer = args.observer or OBSERVER_DEFAULTS.get(task, "minmax")
-        qp = calibrate(spec, params, images, safe_zero_floor=True,
-                       observer=observer)
+        rounding = args.weight_rounding or WEIGHT_ROUNDING_DEFAULTS.get(
+            task, "nearest")
+        if rounding == "adaround":
+            from sesr_tpu.quant.adaround import adaround_calibrate
+            qp = adaround_calibrate(spec, params, images, verbose=True,
+                                    safe_zero_floor=True, observer=observer)
+        else:
+            qp = calibrate(spec, params, images, safe_zero_floor=True,
+                           observer=observer)
         qp = certify_fast(spec, qp, images)
         out = os.path.join(args.out_dir, f"qparams_{task}.npz")
         qp.save(out)
         print(f"[make_qparams] {task}: {out} "
               f"({os.path.getsize(out)/1e3:.0f} kB, "
               f"grade={qp.cert_grade} layers={qp.cert_stamps} "
-              f"over {qp.fast_cert_images} images)")
+              f"rounding={rounding} over {qp.fast_cert_images} images)")
 
 
 if __name__ == "__main__":
