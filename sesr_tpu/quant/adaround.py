@@ -29,11 +29,19 @@ through the corrected integer path, two independent runs):
 
   sr_x4 +0.166/+0.181 dB (replicates; the task with the largest
   fake-quant delta) — SHIPPED: the default sr_x4 artifact recipe uses
-  adaround (tools/make_qparams.py WEIGHT_ROUNDING_DEFAULTS).
+  adaround (tools/make_qparams.py WEIGHT_ROUNDING_DEFAULTS) PAIRED WITH
+  the percentile observer: on adaround weights percentile beats the
+  round-3 KL winner on all three held-out pools (24.92/26.36/28.13 vs
+  kl 24.78/25.99/27.38 — histogram clipping tuned on the raw checkpoint
+  does not survive weight modification; ADAROUND_OBSERVER_DEFAULTS).
+  Net: sr_x4's PTQ gap 1.07 -> 0.75 dB.
   nrdm_3 -0.01..-0.08, nr -0.01..-0.02, sr_x2 -0.04, dm +0.02 — the
   calibration-fit MSE reduction does NOT transfer to held-out GT for the
   small-gap tasks (12-image layerwise fit on 16-channel nets overfits);
-  those keep round-to-nearest. Full tables in BASELINE.md "AdaRound".
+  those keep round-to-nearest. On QAT-trained collapsed weights adaround
+  LOSES (gap +0.25 -> +0.30): QAT already places weights at fake-quant
+  optima — the techniques do not stack. Full tables in BASELINE.md
+  "AdaRound".
 """
 
 from __future__ import annotations

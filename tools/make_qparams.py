@@ -79,6 +79,15 @@ OBSERVER_DEFAULTS = {"sr_x2": "kl", "sr_x4": "kl"}
 # round-to-nearest. Table in BASELINE.md "AdaRound".
 WEIGHT_ROUNDING_DEFAULTS = {"sr_x4": "adaround"}
 
+# the observer choice interacts with the rounding: on ADAROUND weights
+# percentile beats kl/minmax on ALL THREE held-out pools (seed 77/123/500:
+# 24.94/26.37/28.12 vs kl 24.78/25.99/27.38 and minmax 24.63/26.09/27.80)
+# while kl remains the round-3 winner on nearest-rounded weights — same
+# shape as the QAT finding (QAT_OBSERVER_DEFAULTS): histogram clipping
+# tuned on the raw checkpoint's distributions does not survive weight
+# modification. Used when rounding == "adaround" and no --observer given.
+ADAROUND_OBSERVER_DEFAULTS = {"sr_x4": "percentile"}
+
 # the PTQ observer winners do NOT transfer to QAT-collapsed weights:
 # KL — the sr_x4 PTQ winner — loses badly on the QAT artifact
 # (round-5 calibration probe, held-out seed-77 gaps on the fake-quant-
@@ -224,9 +233,13 @@ def main():
         params = load_reference_checkpoint(task)
         images = calibration_images(task, args.n_images, args.images,
                                     args.n_real)
-        observer = args.observer or OBSERVER_DEFAULTS.get(task, "minmax")
         rounding = args.weight_rounding or WEIGHT_ROUNDING_DEFAULTS.get(
             task, "nearest")
+        if rounding == "adaround":
+            observer = args.observer or ADAROUND_OBSERVER_DEFAULTS.get(
+                task, OBSERVER_DEFAULTS.get(task, "minmax"))
+        else:
+            observer = args.observer or OBSERVER_DEFAULTS.get(task, "minmax")
         if rounding == "adaround":
             from sesr_tpu.quant.adaround import adaround_calibrate
             qp = adaround_calibrate(spec, params, images, verbose=True,
