@@ -88,13 +88,25 @@ def cmd_calibrate(args):
     spec = spec_for_task(args.task)
     params = _load_params(args.task, args)
     data = list(_dataset(args.task, args))
+    extra = {}
+    if getattr(args, "weight_rounding", "nearest") == "adaround":
+        # AdaRound (quant/adaround.py): phase-1 nearest calibration drives
+        # the per-layer rounding optimization; the guarded final
+        # calibration (and its minmax control arm) then both run at the
+        # optimized w_int, so the observer comparison stays fair
+        from sesr_tpu.quant.calibrate import calibrate as _plain_calibrate
+        from sesr_tpu.quant.adaround import adaround_weights
+        images = [d[0] for d in data]
+        qp0 = _plain_calibrate(spec, params, images, observer=args.observer)
+        extra["w_int_override"] = adaround_weights(
+            spec, params, qp0, images, steps=args.adaround_steps)
     # observer guardrail (round-3 ablation: KL silently loses ~12 dB on the
     # raw-domain tasks): a >1 dB ground-truth-PSNR regression vs minmax is
     # an error unless --force acknowledges it
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always", ObserverRegressionWarning)
         qp = guarded_calibrate(spec, params, data, args.task,
-                               observer=args.observer)
+                               observer=args.observer, **extra)
     for w in caught:
         if issubclass(w.category, ObserverRegressionWarning):
             if args.force:
@@ -530,6 +542,13 @@ def main(argv=None):
                         ">1 dB vs minmax on the calibration set (the "
                         "guardrail for KL on raw-domain tasks)")
     p.add_argument("--no-eval", action="store_true")
+    p.add_argument("--weight-rounding", default="nearest",
+                   choices=["nearest", "adaround"],
+                   help="adaround = adaptive per-weight rounding "
+                        "(quant/adaround.py; +0.17..0.33 dB on sr_x4, the "
+                        "shipped default there via tools/make_qparams.py — "
+                        "value-studied per task, see BASELINE.md)")
+    p.add_argument("--adaround-steps", type=int, default=800)
     p.set_defaults(fn=cmd_calibrate)
 
     p = sub.add_parser("sim", help="bit-exact integer sim (sim.py)")

@@ -207,3 +207,29 @@ def test_cli_profile(capsys):
           "--height", "64", "--width", "96"])
     out = capsys.readouterr().out
     assert "flops/frame" in out and "bytes accessed" in out
+
+
+def test_cli_calibrate_weight_rounding_adaround(tmp_path, capsys):
+    """calibrate --weight-rounding adaround runs the two-phase AdaRound
+    recipe through the CLI (round 5, quant/adaround.py): the saved
+    artifact's weights are a valid neighbor rounding of the checkpoint at
+    the same per-tensor scales, and the observer guard still runs."""
+    from sesr_tpu.config import spec_for_task
+    from sesr_tpu.io.torch_import import load_reference_checkpoint
+    from sesr_tpu.quant.params import QuantParams
+
+    out = str(tmp_path / "qp_ada.npz")
+    main(["calibrate", "--task", "nrdm_3", "--n-images", "2",
+          "--weight-rounding", "adaround", "--adaround-steps", "8",
+          "--out", out, "--no-eval"])
+    assert "saved" in capsys.readouterr().out
+    qp = QuantParams.load(out)
+    params = load_reference_checkpoint("nrdm_3")
+    spec = spec_for_task("nrdm_3")
+    for i in range(spec.num_convs):
+        base = np.floor(np.asarray(params.weights[i], np.float64)
+                        / qp.w_scale[i])
+        d = np.asarray(qp.w_int[i], np.int64) - base.astype(np.int64)
+        inside = (np.asarray(qp.w_int[i]) > -128) & (np.asarray(qp.w_int[i])
+                                                     < 127)
+        assert np.isin(d[inside], [0, 1]).all(), i
