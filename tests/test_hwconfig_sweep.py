@@ -9,8 +9,9 @@ the dataclass advertises:
 
 - an independent pure-numpy executable spec of the (uncorrected) ASIC
   datapath, checked bit-exactly against the int32 interpreter at alternate
-  configs (PE in {2, 8}, accumulators 16/20, adder 18/22, bias 12,
-  requant 12x2^-24);
+  configs (PE in {2, 8} at alternate widths and the non-power-of-2 PE=3
+  at the reference widths — unequal per-PE channel counts; accumulators
+  16/20, adder 18/22, bias 12, requant 12x2^-24);
 - bf16-vs-int32 lowering equality at those configs (the range analysis in
   quant/integer.py is width-independent as long as partial sums stay under
   2^24 — true for every config here by the adder clamp);
@@ -53,6 +54,12 @@ ALT_CONFIGS = [
                    requant_bits=12, requant_n_max=24),
     # wide: 8 PEs, 20/22-bit accumulators
     HardwareConfig(pe=8, pe_acc_bits=20, pe_add_bits=22),
+    # non-power-of-2 PE count at the reference widths: the c % pe
+    # round-robin leaves PEs with UNEQUAL channel counts (8 % 3 != 0) —
+    # the decomposition, clamps, and zero restoration must not assume
+    # divisibility (verified bit-exact for pe in {3, 5, 16} in the
+    # round-5 probe; pe=3 pinned here)
+    HardwareConfig(pe=3),
 ]
 
 # alternate-but-servable: 2 PEs with the standard accumulators and narrow
@@ -171,7 +178,7 @@ def numpy_integer_forward(spec, qp, x):
     return h
 
 
-@pytest.mark.parametrize("hw", ALT_CONFIGS, ids=["pe2_narrow", "pe8_wide"])
+@pytest.mark.parametrize("hw", ALT_CONFIGS, ids=["pe2_narrow", "pe8_wide", "pe3_nondivisible"])
 def test_interpreter_matches_numpy_spec_alt_config(hw):
     """integer_forward (int32 lowering, uncorrected) is bit-exact against
     the independent numpy spec at both alternate configs."""
@@ -185,7 +192,7 @@ def test_interpreter_matches_numpy_spec_alt_config(hw):
         np.testing.assert_array_equal(np.asarray(y), y_ref.astype(np.float32))
 
 
-@pytest.mark.parametrize("hw", ALT_CONFIGS, ids=["pe2_narrow", "pe8_wide"])
+@pytest.mark.parametrize("hw", ALT_CONFIGS, ids=["pe2_narrow", "pe8_wide", "pe3_nondivisible"])
 def test_bf16_lowering_exact_alt_config(hw):
     """The bf16 MXU lowering's range analysis holds at every config whose
     adder clamp keeps partial sums under 2^24 — both alternates qualify."""
@@ -292,7 +299,7 @@ def test_requant_encoder_roundtrip_alt_widths(data_bits, shift_max):
             assert m == int(v * 2.0 ** shift_max), (v, m, n)
 
 
-@pytest.mark.parametrize("hw", ALT_CONFIGS, ids=["pe2_narrow", "pe8_wide"])
+@pytest.mark.parametrize("hw", ALT_CONFIGS, ids=["pe2_narrow", "pe8_wide", "pe3_nondivisible"])
 def test_artifact_roundtrip_preserves_alt_config(hw):
     """An alternate-config artifact survives npz serialization with its
     HardwareConfig intact (quant/params.py save/load)."""
