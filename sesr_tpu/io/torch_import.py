@@ -217,10 +217,33 @@ def load_reference_checkpoint(task: str,
     spec = spec_for_task(task)
     if path is not None and path.endswith(".npz"):
         import numpy as np
+        if qat:
+            raise ValueError(
+                "qat=True is meaningless for a .npz checkpoint: the "
+                "fake-quant-delta composition happens at collapse time, "
+                "and an .npz is already collapsed (train --qat --out "
+                "applies it before writing)")
         ck = np.load(path)
+        missing = [k for i in range(spec.num_convs)
+                   for k in (f"w_{i}", f"b_{i}") if k not in ck]
+        if missing or f"w_{spec.num_convs}" in ck:
+            raise ValueError(
+                f"{path} is not a collapsed {task} checkpoint "
+                f"(expected exactly w_0..w_{spec.num_convs-1}/b_* HWIO; "
+                f"missing {missing})")
+        ws = [ck[f"w_{i}"] for i in range(spec.num_convs)]
+        for i, (w, k) in enumerate(zip(ws, spec.kernel_sizes)):
+            if w.ndim != 4 or w.shape[0] != k or w.shape[1] != k:
+                raise ValueError(
+                    f"{path}: w_{i} has shape {w.shape}, expected HWIO "
+                    f"with kernel {k}x{k} for {task} (torch OIHW "
+                    f"checkpoints go through the .pth loader)")
+        if ws[0].shape[2] != spec.in_channels:
+            raise ValueError(
+                f"{path}: w_0 expects {ws[0].shape[2]} input channels but "
+                f"task {task} has {spec.in_channels} — wrong task?")
         return CollapsedParams(
-            [ck[f"w_{i}"] for i in range(spec.num_convs)],
-            [ck[f"b_{i}"] for i in range(spec.num_convs)])
+            ws, [ck[f"b_{i}"] for i in range(spec.num_convs)])
     if path is None:
         name = (QAT_CHECKPOINTS.get(task) if qat else None) \
             or REFERENCE_CHECKPOINTS[task]

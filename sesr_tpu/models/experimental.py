@@ -52,6 +52,12 @@ def forward_inception(base: SESRSpec, params: InceptionSESRParams, x,
     """single_path falsy: sum all paths (sesr_arch.py:95-97); single_path
     truthy: emit only path `conv_scale` (1-based path selector, matching the
     reference's `conv_scale==1/2/3` chain at sesr_arch.py:14,89-94)."""
+    if not isinstance(single_path, bool):
+        # the pre-round-5 API had no conv_scale param; an integer here is
+        # almost certainly legacy "use path N" intent — reinterpreting it
+        # as truthy would silently select path `conv_scale` instead
+        raise TypeError("single_path is a bool; pass the path index via "
+                        "conv_scale= (e.g. single_path=True, conv_scale=2)")
     specs = inception_path_spec(base)[: len(params.paths)]
     # run each path WITHOUT its own pixel shuffle; sum pre-shuffle
     outs = []

@@ -272,7 +272,12 @@ def stream_frames(spec: SESRSpec, qp: QuantParams, mesh: Mesh, frames,
         if audit_every > 0:
             from sesr_tpu.ops.packed import select_packed_forward
             from sesr_tpu.quant.audit import empirically_trusted_layers
-            serving_mode, _ = select_packed_forward(qp)
+            # a caller-forced mode (force_mode in fwd_kwargs) IS the
+            # serving mode — auditing a forced pe-exact stream would be
+            # spurious, and the degrade path below must not pass
+            # force_mode twice
+            forced = fwd_kwargs.get("force_mode")
+            serving_mode = forced or select_packed_forward(qp)[0]
             audit_trusted = empirically_trusted_layers(qp, serving_mode)
     else:
         fwd = multihost_integer_forward(spec, qp, mesh, **fwd_kwargs)
@@ -299,9 +304,11 @@ def stream_frames(spec: SESRSpec, qp: QuantParams, mesh: Mesh, frames,
                 audit_log.append((batch_idx, serving_mode, res))
             if not res.ok:
                 # degrade: the sound lowering for this and all later batches
+                kw = {k: v for k, v in fwd_kwargs.items()
+                      if k != "force_mode"}
                 fwd = multihost_packed_forward(spec, qp, mesh,
                                                force_mode="pe-exact",
-                                               **fwd_kwargs)
+                                               **kw)
                 serving_mode = "pe-exact"
                 audit_trusted = ()
                 degraded = True

@@ -31,10 +31,10 @@ through the corrected integer path, two independent runs):
   fake-quant delta) — SHIPPED: the default sr_x4 artifact recipe uses
   adaround (tools/make_qparams.py WEIGHT_ROUNDING_DEFAULTS) PAIRED WITH
   the percentile observer: on adaround weights percentile beats the
-  round-3 KL winner on all three held-out pools (24.92/26.36/28.13 vs
+  round-3 KL winner on all three held-out pools (24.87/26.39/28.05 vs
   kl 24.78/25.99/27.38 — histogram clipping tuned on the raw checkpoint
   does not survive weight modification; ADAROUND_OBSERVER_DEFAULTS).
-  Net: sr_x4's PTQ gap 1.07 -> 0.75 dB.
+  Net: sr_x4's PTQ gap 1.07 -> 0.80 dB.
   nrdm_3 -0.01..-0.08, nr -0.01..-0.02, sr_x2 -0.04, dm +0.02 — the
   calibration-fit MSE reduction does NOT transfer to held-out GT for the
   small-gap tasks (12-image layerwise fit on 16-channel nets overfits);
@@ -59,28 +59,6 @@ from sesr_tpu.ops.conv import conv2d_nhwc
 from sesr_tpu.quant.params import QuantParams
 
 _HP = jax.lax.Precision.HIGHEST
-
-
-def _layer_inputs(qp: QuantParams, x, upto: int):
-    """x_shift (zero-shifted integer-unit conv inputs) for layers 0..upto
-    of the corrected integer path under qp."""
-    from sesr_tpu.quant.integer import (_integer_conv_pe, _quantize_domain_in,
-                                        _requant_out)
-    L = qp.num_convs
-    h, shortcut, ins = x, None, []
-    for i in range(L):
-        _xq, x_shift = _quantize_domain_in(h, i, L, qp, shortcut, True)
-        ins.append(x_shift)
-        if i == upto:
-            break
-        _po, _pa, y, _ovf = _integer_conv_pe(x_shift, i, qp,
-                                             corrected=True, compute="bf16")
-        h, extras = _requant_out(y, i, L, qp)
-        if i == 0:
-            shortcut = extras["shortcut"]
-        if i < L - 1:
-            h = jax.nn.relu(h)
-    return ins
 
 
 def optimize_layer_rounding(w_float, w_scale: float, xs, steps: int = 800,
@@ -109,7 +87,12 @@ def optimize_layer_rounding(w_float, w_scale: float, xs, steps: int = 800,
         err = conv2d_nhwc(xs_j, dw, precision=_HP)
         return jnp.mean(err * err)
 
-    v_nearest = jnp.where(jnp.asarray(r, jnp.float32) >= 0.5, 8.0, -8.0)
+    # the baseline to beat is the SHIPPED nearest rounding — np.rint
+    # (round-half-to-even, quantize_weights), not round-half-up; on exact
+    # .5 ties the two differ and the accept guard must compare against
+    # what would actually ship
+    h_near = np.rint(w_real) - base                     # 0/1 per weight
+    v_nearest = jnp.asarray(np.where(h_near >= 0.5, 8.0, -8.0), jnp.float32)
     mse_nearest = float(mse(v_nearest)) + 1e-12
 
     opt = optax.adam(lr)
@@ -148,14 +131,26 @@ def adaround_weights(spec: SESRSpec, params: CollapsedParams,
     """Sequentially optimized w_int for every layer (the rounding phase).
     qp_baseline: a finalized artifact at the target scales (its activation
     params drive the input collection; they are refreshed afterwards by
-    calibrate(w_int_override=...))."""
+    calibrate(w_int_override=...)).
+
+    Linear-time input collection: each image's activation state is carried
+    forward ONE layer per iteration with the already-accepted rounding
+    (layer i+1 sees layers 0..i re-rounded), instead of re-running the
+    layer prefix per (layer, image) pair."""
+    from sesr_tpu.quant.integer import (_integer_conv_pe,
+                                        _quantize_domain_in, _requant_out)
+
+    L = qp_baseline.num_convs
     qp_work = qp_baseline
     w_new = [np.asarray(w) for w in qp_baseline.w_int]
-    for i in range(qp_baseline.num_convs):
-        xs = np.concatenate([
-            np.asarray(_layer_inputs(qp_work, jnp.asarray(img, jnp.float32),
-                                     i)[i])
-            for img in images], axis=0)
+    # per-image (h, shortcut) state of the corrected integer path
+    states = [(jnp.asarray(img, jnp.float32), None) for img in images]
+    for i in range(L):
+        # x_shift at layer i depends on activations and quant constants
+        # only (not on w_int[i]) — collect once, reuse for the advance
+        xshifts = [_quantize_domain_in(h, i, L, qp_work, sc, True)[1]
+                   for (h, sc) in states]
+        xs = np.concatenate([np.asarray(x) for x in xshifts], axis=0)
         w_i, moved, m_near, m_final = optimize_layer_rounding(
             params.weights[i], qp_baseline.w_scale[i], xs, steps=steps)
         w_new[i] = w_i
@@ -164,6 +159,16 @@ def adaround_weights(spec: SESRSpec, params: CollapsedParams,
             print(f"[adaround] layer {i}: {moved*100:.1f}% off nearest; "
                   f"calib rounding mse {m_near:.3e} -> {m_final:.3e}",
                   flush=True)
+        if i < L - 1:
+            advanced = []
+            for (h, sc), x_shift in zip(states, xshifts):
+                _po, _pa, y, _ovf = _integer_conv_pe(
+                    x_shift, i, qp_work, corrected=True, compute="bf16")
+                h2, extras = _requant_out(y, i, L, qp_work)
+                if i == 0:
+                    sc = extras["shortcut"]
+                advanced.append((jax.nn.relu(h2), sc))
+            states = advanced
     return w_new
 
 

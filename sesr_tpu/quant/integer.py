@@ -95,7 +95,8 @@ def _quantize_domain_in(x, i: int, L: int, qp: QuantParams, shortcut,
 def _integer_conv_pe(x_shift, i: int, qp: QuantParams, halo_axis=None,
                      corrected: bool = False, compute: str = "bf16"):
     """Steps 2-5: PE-split int32 conv, zero restoration, saturations, fused
-    bias. Returns (pe_out [(PE, N, H, W, OC) clamped], pe_add, y_biased).
+    bias. Returns (pe_out [(PE, N, H, W, OC) clamped], pe_add, y_biased,
+    ovf18 [per-layer 18-bit event count]).
 
     With halo_axis set (sharded execution inside shard_map), the SHIFTED
     tensor exchanges its k//2 halo — zero there == the zero padding

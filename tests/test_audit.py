@@ -145,3 +145,31 @@ def test_cli_infer_audit_clean_run(capsys):
     out = capsys.readouterr().out
     assert "packed(1x8, hybrid) mean psnr" in out
     assert "2 dispatch(es) audited, 0 OOD saturation violation(s)" in out
+
+
+def test_stream_audit_respects_forced_pe_exact():
+    """A caller-forced pe-exact stream (force_mode in fwd_kwargs) is
+    already sound: the audit must treat pe-exact as the serving mode
+    (nothing to audit) and the degrade path must not crash on a duplicate
+    force_mode keyword (round-5 review finding)."""
+    from sesr_tpu.parallel.multihost import (make_mesh_multihost,
+                                             stream_frames)
+
+    spec = spec_for_task("nr")
+    qp = _qp("nr")
+    mesh = make_mesh_multihost(n_hosts=1, dp=1, sp=2)
+    rng = np.random.default_rng(5)
+    frames = [rng.random((1, 32, 48, 3), dtype=np.float32),
+              adversarial_image(qp, hw=(32, 48))]
+    log = []
+    outs = list(stream_frames(spec, qp, mesh, frames,
+                              lowering="deployment", audit_every=1,
+                              audit_log=log, force_mode="pe-exact"))
+    assert len(outs) == 2
+    # pe-exact serving is sound for every frame incl. the adversarial one
+    for f, y in zip(frames, outs):
+        y_exact, _ = integer_forward(spec, qp, jnp.asarray(f),
+                                     corrected=True)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(y_exact))
+    # every audit slot records the sound mode with nothing to audit
+    assert [(m, r) for (_i, m, r) in log] == [("pe-exact", None)] * 2

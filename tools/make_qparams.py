@@ -81,7 +81,7 @@ WEIGHT_ROUNDING_DEFAULTS = {"sr_x4": "adaround"}
 
 # the observer choice interacts with the rounding: on ADAROUND weights
 # percentile beats kl/minmax on ALL THREE held-out pools (seed 77/123/500:
-# 24.94/26.37/28.12 vs kl 24.78/25.99/27.38 and minmax 24.63/26.09/27.80)
+# 24.87/26.39/28.05 vs kl 24.78/25.99/27.38 and minmax 24.63/26.09/27.80)
 # while kl remains the round-3 winner on nearest-rounded weights — same
 # shape as the QAT finding (QAT_OBSERVER_DEFAULTS): histogram clipping
 # tuned on the raw checkpoint's distributions does not survive weight
@@ -189,7 +189,11 @@ def build_qat_artifact(task: str, out_dir: str, steps: int = 300,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--tasks", nargs="*", default=sorted(TASKS))
+    ap.add_argument("--tasks", nargs="*", default=None,
+                    help="PTQ artifacts to (re)build; default = all tasks, "
+                         "or NONE when --qat is given without --tasks "
+                         "(so `--qat sr_x4` does not silently rebuild the "
+                         "five shipped PTQ artifacts)")
     ap.add_argument("--images", default=None,
                     help="dir of .npy NHWC calibration images "
                          "(else the synthetic natural-image pipeline)")
@@ -226,8 +230,8 @@ def main():
     for task in (args.qat or []):
         build_qat_artifact(task, args.out_dir, steps=args.qat_steps,
                            lr=args.qat_lr, observer=args.observer)
-    if args.qat is not None and not args.tasks:
-        return
+    if args.tasks is None:
+        args.tasks = [] if args.qat is not None else sorted(TASKS)
     for task in args.tasks:
         spec = TASKS[task]
         params = load_reference_checkpoint(task)
