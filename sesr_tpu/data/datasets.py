@@ -70,6 +70,17 @@ class SRFolderDataset:
         if not self.gt_paths:
             raise FileNotFoundError(f"no PNGs under {gt_dir}")
         self.lr_dir = gt_dir.replace("GTmod12", f"LRbicx{scale}")
+        if self.lr_dir == gt_dir:
+            # the replace was a no-op — without this check the GT images
+            # would silently become the model input
+            raise ValueError(
+                f"{gt_dir}: cannot derive the LRbicx{scale} directory — "
+                f"the reference layout pairs .../GTmod12 with "
+                f".../LRbicx{scale} (self_dataset_sr.py:156-159); point "
+                f"--data at the GTmod12 folder")
+        if not os.path.isdir(self.lr_dir):
+            raise FileNotFoundError(
+                f"LR directory {self.lr_dir} missing next to {gt_dir}")
 
     def __len__(self):
         return len(self.gt_paths)
@@ -138,9 +149,8 @@ class RawBayerDataset:
             variance = np.zeros_like(inp, dtype=np.float32)
         png = os.path.join(self.png_dir or os.path.dirname(path),
                            base.split("_")[0] + ".png")
-        gt = _imread_rgb(png, bit_depth=12).transpose(2, 0, 1)
-        inp = np.clip(inp, 0, 1).transpose(1, 2, 0)
-        gt = np.clip(gt, 0, 1).transpose(1, 2, 0)
+        gt = np.clip(_imread_rgb(png, bit_depth=12), 0, 1)    # already HWC
+        inp = np.clip(inp, 0, 1).transpose(1, 2, 0)           # CHW -> HWC
         return (inp[None].astype(np.float32), gt[None].astype(np.float32),
                 variance.transpose(1, 2, 0)[None])
 

@@ -194,9 +194,25 @@ def multihost_tail_forward(spec: SESRSpec, qp: QuantParams, mesh: Mesh,
     W % (dp*sp) == 0 (cell-aligned per shard in deployment mode)."""
     w_axes = ("dp", "sp")
     if lowering == "deployment":
-        from sesr_tpu.ops.packed import resolve_cells, select_packed_forward
-        mode, pf = select_packed_forward(qp)
+        from sesr_tpu.ops.packed import (packed_exact_forward, resolve_cells,
+                                         select_packed_forward)
         fwd_kwargs = dict(fwd_kwargs)
+        forced = fwd_kwargs.pop("force_mode", None)
+        if forced is None:
+            mode, pf = select_packed_forward(qp)
+        elif forced == "pe-exact":
+            # honor the caller-forced sound mode on the tail too — the
+            # certificate-selected lowering would bypass it (round-5
+            # review; same contract as multihost_packed_forward)
+            mode = "pe-exact"
+
+            def pf(spec, qp, x, s=(2, 4), halo_axis=None, out_dtype="f32"):
+                return packed_exact_forward(spec, qp, x, s, corrected=True,
+                                            halo_axis=halo_axis,
+                                            out_dtype=out_dtype)
+        else:
+            raise ValueError(f"force_mode={forced!r}: only the sound "
+                             "'pe-exact' override is allowed")
         s = fwd_kwargs.pop("s", None)
 
         def local_fn(x):

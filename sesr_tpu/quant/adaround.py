@@ -87,13 +87,21 @@ def optimize_layer_rounding(w_float, w_scale: float, xs, steps: int = 800,
         err = conv2d_nhwc(xs_j, dw, precision=_HP)
         return jnp.mean(err * err)
 
+    def mse_of_ints(w_int_arr):
+        """Rounding error of the SHIPPED (int8-clipped) tensor — the
+        guard must compare what actually ships, not the unclipped
+        parameterization (they differ at the ±127.5 scale boundary,
+        which the symmetric scale formula realizes for the max weight)."""
+        dw = jnp.asarray(w_int_arr.astype(np.float64) - w_real, jnp.float32)
+        err = conv2d_nhwc(xs_j, dw, precision=_HP)
+        return float(jnp.mean(err * err))
+
     # the baseline to beat is the SHIPPED nearest rounding — np.rint
     # (round-half-to-even, quantize_weights), not round-half-up; on exact
     # .5 ties the two differ and the accept guard must compare against
     # what would actually ship
-    h_near = np.rint(w_real) - base                     # 0/1 per weight
-    v_nearest = jnp.asarray(np.where(h_near >= 0.5, 8.0, -8.0), jnp.float32)
-    mse_nearest = float(mse(v_nearest)) + 1e-12
+    w_nearest = np.clip(np.rint(w_real), -128, 127).astype(np.int32)
+    mse_nearest = mse_of_ints(w_nearest) + 1e-12
 
     opt = optax.adam(lr)
 
@@ -114,11 +122,11 @@ def optimize_layer_rounding(w_float, w_scale: float, xs, steps: int = 800,
 
     h_bin = (np.asarray(h_of(v)) > 0.5).astype(np.int64)
     w_new = np.clip(base.astype(np.int64) + h_bin, -128, 127).astype(np.int32)
-    w_nearest = np.clip(np.rint(w_real), -128, 127).astype(np.int32)
-    final_mse = float(mse(jnp.asarray(np.where(h_bin, 8.0, -8.0),
-                                      jnp.float32)))
+    final_mse = mse_of_ints(w_new)
     # accept-if-better: the annealed binary snap can land ABOVE the
-    # nearest-rounding error (under-converged layers) — keep nearest there
+    # nearest-rounding error (under-converged layers) — keep nearest there.
+    # Both sides evaluate the CLIPPED tensors (mse_of_ints), so the
+    # contract holds for what ships.
     if final_mse >= mse_nearest:
         return w_nearest, 0.0, mse_nearest, mse_nearest
     return w_new, float(np.mean(w_new != w_nearest)), mse_nearest, final_mse

@@ -73,12 +73,14 @@ def _pe_partial_weights(w_hwio, pe: int):
     """Split a HWIO kernel into `pe` kernels keeping input channels c with
     c % pe == p (others zeroed) — the channel round-robin PE decomposition
     (quan_func.py:298-318, applied to weights instead of inputs; the two are
-    equivalent because convolution is linear in its input)."""
+    equivalent because convolution is linear in its input). The rule itself
+    is single-sourced in quant/integer.py pe_channel_mask (w may be a jnp
+    tracer here, so the numpy _pe_weight_masks cannot be reused whole)."""
+    from sesr_tpu.quant.integer import pe_channel_mask
     ic = w_hwio.shape[2]
-    c = np.arange(ic)
     outs = []
     for p in range(pe):
-        mask = (c % pe == p).astype(w_hwio.dtype)
+        mask = pe_channel_mask(ic, pe, p).astype(np.float32)
         outs.append(w_hwio * mask[None, None, :, None])
     return outs
 

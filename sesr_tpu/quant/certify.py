@@ -61,6 +61,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from sesr_tpu.config import SESRSpec
+from sesr_tpu.quant.integer import pe_channel_mask
 from sesr_tpu.quant.params import QuantParams
 
 
@@ -81,7 +82,7 @@ def _pe_tap_matrix(w_int: np.ndarray, pe: int, p: int) -> np.ndarray:
     quant/strict.py does — a zero operand is an exact no-op MAC)."""
     w = np.asarray(w_int, np.int64)
     ic = w.shape[2]
-    w_p = w * (np.arange(ic) % pe == p)[None, None, :, None]
+    w_p = w * pe_channel_mask(ic, pe, p)[None, None, :, None]
     return w_p.transpose(2, 0, 1, 3).reshape(-1, w.shape[3])
 
 
@@ -150,7 +151,7 @@ def static_requant_bound(qp: QuantParams, i: int) -> float:
     ic = w.shape[2]
     s_hi = np.zeros(w.shape[3], np.int64)
     for p in range(hw.pe):
-        wp = w * (np.arange(ic) % hw.pe == p)[None, None, :, None]
+        wp = w * pe_channel_mask(ic, hw.pe, p)[None, None, :, None]
         p_hi = np.maximum(wp * lo_x, wp * hi_x).sum(axis=(0, 1, 2))
         rest = z_eff * wp.sum(axis=(0, 1, 2))
         s_hi += np.clip(p_hi + rest, acc_lo, acc_hi)
@@ -202,7 +203,7 @@ def adversarial_input_for_layer(qp: QuantParams, i: int):
                 if best is None or val > best[0]:
                     best = (val, p, o, sign)
     _, p, o, sign = best
-    mask = (np.arange(ic) % hw.pe == p)[None, None, :]
+    mask = pe_channel_mask(ic, hw.pe, p)[None, None, :]
     w_po = w[:, :, :, o] * mask                              # (k, k, IC)
     x = np.where(w_po * sign > 0, hi_x, lo_x).astype(np.int32)
     x = np.where((w_po == 0) & ~np.broadcast_to(mask, w_po.shape), 0, x)

@@ -45,11 +45,21 @@ from sesr_tpu.ops.fixedpoint import apply_requant_f32, saturate
 from sesr_tpu.quant.params import QuantParams, requant_target_domain
 
 
+def pe_channel_mask(ic: int, pe: int, p: int) -> np.ndarray:
+    """The ONE channel round-robin rule of the PE decomposition
+    (quan_func.py:298-318): input channel c belongs to PE p iff
+    c % pe == p. Every masking site (this module, the fake-quant clamps in
+    quant/calibrate.py, the interval proofs in quant/certify.py) derives
+    from this helper so the rule cannot desynchronize."""
+    return (np.arange(ic) % pe == p)
+
+
 def _pe_weight_masks(w_int_hwio: np.ndarray, pe: int):
     """w_int split into `pe` kernels (input channels c % pe == p kept)."""
     ic = w_int_hwio.shape[2]
-    c = np.arange(ic)
-    return [w_int_hwio * (c % pe == p)[None, None, :, None].astype(w_int_hwio.dtype)
+    return [w_int_hwio
+            * pe_channel_mask(ic, pe, p)[None, None, :, None].astype(
+                w_int_hwio.dtype)
             for p in range(pe)]
 
 
@@ -166,6 +176,7 @@ def _integer_conv_pe(x_shift, i: int, qp: QuantParams, halo_axis=None,
     pe_outs = []
     ovf18 = jnp.zeros((), jnp.int32)
     x_bf = x_i32.astype(jnp.bfloat16) if compute == "bf16" else None
+    masks = _pe_weight_masks(w_int, hw.pe) if compute != "bf16" else None
     for p in range(hw.pe):
         if compute == "bf16":
             w_p_sl = np.ascontiguousarray(w_int[:, :, p::hw.pe, :])
@@ -176,7 +187,7 @@ def _integer_conv_pe(x_shift, i: int, qp: QuantParams, halo_axis=None,
                               w_valid=w_valid, h_valid=h_valid).astype(jnp.int32)
             w_sum_p = w_p_sl.sum(axis=(0, 1, 2))
         else:
-            w_p = _pe_weight_masks(w_int, hw.pe)[p]
+            w_p = masks[p]
             y_p = conv2d_nhwc(x_i32, jnp.asarray(w_p, jnp.int32),
                               preferred_element_type=jnp.int32,
                               w_valid=w_valid, h_valid=h_valid)

@@ -52,6 +52,14 @@ def asym_qparams(lo: float, hi: float, bits: int):
     qmax = 2 ** (bits - 1) - 1
     qmin = -(2 ** (bits - 1))
     scale = (hi - lo) / (qmax - qmin)
+    if scale == 0.0:
+        # the reference asserts "Input tensor is all equal"
+        # (quan_func.py:196); surface the degenerate calibration domain
+        # with context instead of a bare ZeroDivisionError
+        raise ValueError(
+            f"degenerate calibration domain [{lo}, {hi}]: every observed "
+            f"activation is equal — calibrate on images with signal "
+            f"(the reference's 'Input tensor is all equal' case)")
     zero = qmin - round(lo / scale)
     return scale, int(zero)
 
@@ -212,7 +220,10 @@ class QuantParams:
             cert_cells=(None if self.cert_cells is None
                         else [list(c) for c in self.cert_cells]),
         )
-        np.savez(path, __meta__=json.dumps(meta), **arrays)
+        # write to the LITERAL path (np.savez(str) silently appends .npz,
+        # desynchronizing save/load for suffixless paths)
+        with open(path, "wb") as f:
+            np.savez(f, __meta__=json.dumps(meta), **arrays)
 
     @classmethod
     def load(cls, path: str) -> "QuantParams":

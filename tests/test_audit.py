@@ -173,3 +173,19 @@ def test_stream_audit_respects_forced_pe_exact():
         np.testing.assert_array_equal(np.asarray(y), np.asarray(y_exact))
     # every audit slot records the sound mode with nothing to audit
     assert [(m, r) for (_i, m, r) in log] == [("pe-exact", None)] * 2
+
+    # the PARTIAL-BATCH TAIL must honor the forced mode too (round-5
+    # review: multihost_tail_forward leaked force_mode into the packed
+    # forward and bypassed the override via certificate selection)
+    mesh2 = make_mesh_multihost(n_hosts=1, dp=2, sp=2)
+    rng2 = np.random.default_rng(7)
+    frames3 = [rng2.random((1, 32, 64, 3), dtype=np.float32)
+               for _ in range(3)]          # batch of 2 + tail of 1
+    outs3 = list(stream_frames(spec, qp, mesh2, frames3,
+                               lowering="deployment",
+                               force_mode="pe-exact"))
+    assert len(outs3) == 2 and outs3[1].shape[0] == 1
+    for f, y in zip([np.concatenate(frames3[:2]), frames3[2]], outs3):
+        y_exact, _ = integer_forward(spec, qp, jnp.asarray(f),
+                                     corrected=True)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(y_exact))
